@@ -1,0 +1,344 @@
+"""Building blocks of the I2VGen-XL-style video UNet, TPU-first.
+
+Behavioral reference: /root/reference/video_to_video/modules/unet_v2v.py
+(ResBlock:570, TemporalConvBlock_v2:1194, SpatialTransformer:242,
+TemporalTransformer:970, BasicTransformerBlock:414, LIEM SpatialAttention:380 /
+TemporalLocalAttention:396, GEGLU:496, Up/Downsample:532/695).
+
+Design deltas from the reference (torch NCHW + xformers):
+  * channels-last everywhere — spatial stream is [B*F, H, W, C], temporal
+    stream [B*HW, F, C]; convs lower to XLA NHWC convolutions that tile onto
+    the MXU directly.
+  * attention goes through ops.attention (XLA einsum or Pallas flash kernel),
+    always with fp32 softmax.
+  * GroupNorm/LayerNorm statistics in fp32 (ops.norms) under bf16 compute.
+  * no module-level chunking hacks (max_bs=16384 etc.) — blocking is the
+    kernel's job.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ...ops.attention import dot_product_attention
+from ...ops.norms import group_norm, layer_norm
+from ...ops.resize import upsample2x_nearest
+
+
+def sinusoidal_embedding(t: jax.Array, dim: int) -> jax.Array:
+    """[B] -> [B, dim]; cos-first layout (unet_v2v.py:96-108)."""
+    half = dim // 2
+    freqs = jnp.power(10000.0, -jnp.arange(half, dtype=jnp.float32) / half)
+    args = t.astype(jnp.float32)[:, None] * freqs[None, :]
+    emb = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+    if dim % 2 != 0:
+        emb = jnp.concatenate([emb, jnp.zeros_like(emb[:, :1])], axis=-1)
+    return emb
+
+
+class GroupNorm(nn.Module):
+    """Channels-last GroupNorm with fp32 stats; reduces over every non-batch
+    dim (torch semantics: 4D spatial GN when x=[BF,H,W,C], 5D video GN when
+    x=[B,F,H,W,C])."""
+    num_groups: int = 32
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        c = x.shape[-1]
+        scale = self.param('scale', nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param('bias', nn.initializers.zeros, (c,), jnp.float32)
+        return group_norm(x, scale, bias, self.num_groups, self.eps)
+
+
+class LayerNorm(nn.Module):
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        c = x.shape[-1]
+        scale = self.param('scale', nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param('bias', nn.initializers.zeros, (c,), jnp.float32)
+        return layer_norm(x, scale, bias, self.eps)
+
+
+class Attention(nn.Module):
+    """Multi-head (cross-)attention: q from x, k/v from context (or x)."""
+    num_heads: int
+    head_dim: int
+    out_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array,
+                 context: Optional[jax.Array] = None) -> jax.Array:
+        context = x if context is None else context
+        inner = self.num_heads * self.head_dim
+        dense = lambda feats, name, bias: nn.Dense(
+            feats, use_bias=bias, dtype=self.dtype, name=name)
+        b, sq, _ = x.shape
+        sk = context.shape[1]
+        q = dense(inner, 'to_q', False)(x).reshape(b, sq, self.num_heads, self.head_dim)
+        k = dense(inner, 'to_k', False)(context).reshape(b, sk, self.num_heads, self.head_dim)
+        v = dense(inner, 'to_v', False)(context).reshape(b, sk, self.num_heads, self.head_dim)
+        out = dot_product_attention(q, k, v)
+        out = out.reshape(b, sq, inner)
+        return dense(self.out_dim, 'to_out', True)(out)
+
+
+class FeedForwardGEGLU(nn.Module):
+    """GEGLU MLP, mult=4 (unet_v2v.py:496-529)."""
+    dim: int
+    mult: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        inner = self.dim * self.mult
+        proj = nn.Dense(inner * 2, dtype=self.dtype, name='proj')(x)
+        h, gate = jnp.split(proj, 2, axis=-1)
+        h = h * jax.nn.gelu(gate.astype(jnp.float32)).astype(h.dtype)
+        return nn.Dense(self.dim, dtype=self.dtype, name='out')(h)
+
+
+class SpatialLIEM(nn.Module):
+    """Local Information Enhancement Module, spatial flavor: channel max/mean
+    -> 7x7 conv -> sigmoid gate (unet_v2v.py:380-394)."""
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        # x: [BF, H, W, C]
+        mx = jnp.max(x, axis=-1, keepdims=True)
+        mn = jnp.mean(x, axis=-1, keepdims=True)
+        w = jnp.concatenate([mx, mn], axis=-1)
+        w = nn.Conv(1, (7, 7), padding=3, use_bias=False, dtype=self.dtype,
+                    name='conv')(w)
+        return jax.nn.sigmoid(w.astype(jnp.float32)).astype(x.dtype) * x
+
+
+class TemporalLIEM(nn.Module):
+    """LIEM, temporal flavor: channel max/mean -> Dense(2->1) -> sigmoid gate
+    (unet_v2v.py:396-411)."""
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        # x: [BHW, F, C]
+        mx = jnp.max(x, axis=-1, keepdims=True)
+        mn = jnp.mean(x, axis=-1, keepdims=True)
+        w = jnp.concatenate([mx, mn], axis=-1)
+        w = nn.Dense(1, use_bias=False, dtype=self.dtype, name='proj')(w)
+        return jax.nn.sigmoid(w.astype(jnp.float32)).astype(x.dtype) * x
+
+
+class SpatialTransformerBlock(nn.Module):
+    """BasicTransformerBlock, 'space' type with LIEM (unet_v2v.py:464-477):
+    gate -> self-attn -> text cross-attn -> GEGLU FF, residuals add to the
+    ungated stream."""
+    dim: int
+    num_heads: int
+    head_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, context: jax.Array, h: int,
+                 w: int) -> jax.Array:
+        # x: [BF, HW, C]; context: [BF, L, Cc]
+        bf = x.shape[0]
+        x_local = x.reshape(bf, h, w, self.dim)
+        x_local = SpatialLIEM(dtype=self.dtype, name='local1')(x_local)
+        x_local = x_local.reshape(bf, h * w, self.dim)
+
+        x = Attention(self.num_heads, self.head_dim, self.dim,
+                      dtype=self.dtype, name='attn1')(
+                          LayerNorm(name='norm1')(x_local)) + x
+        x = Attention(self.num_heads, self.head_dim, self.dim,
+                      dtype=self.dtype, name='attn2')(
+                          LayerNorm(name='norm2')(x), context) + x
+        x = FeedForwardGEGLU(self.dim, dtype=self.dtype, name='ff')(
+            LayerNorm(name='norm3')(x)) + x
+        return x
+
+
+class TemporalTransformerBlock(nn.Module):
+    """BasicTransformerBlock, 'temp' type with two LIEM gates
+    (unet_v2v.py:479-491); both attentions are temporal self-attention."""
+    dim: int
+    num_heads: int
+    head_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        # x: [BHW, F, C]
+        x_local = TemporalLIEM(dtype=self.dtype, name='local1')(x)
+        x = Attention(self.num_heads, self.head_dim, self.dim,
+                      dtype=self.dtype, name='attn1')(
+                          LayerNorm(name='norm1')(x_local)) + x
+        x_local = TemporalLIEM(dtype=self.dtype, name='local2')(x)
+        x = Attention(self.num_heads, self.head_dim, self.dim,
+                      dtype=self.dtype, name='attn2')(
+                          LayerNorm(name='norm2')(x_local)) + x
+        x = FeedForwardGEGLU(self.dim, dtype=self.dtype, name='ff')(
+            LayerNorm(name='norm3')(x)) + x
+        return x
+
+
+class SpatialTransformer(nn.Module):
+    """Per-frame transformer over HW tokens with text cross-attention
+    (unet_v2v.py:242-317, use_linear=True)."""
+    channels: int
+    num_heads: int
+    head_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, context: jax.Array) -> jax.Array:
+        # x: [BF, H, W, C]; context: [BF, L, Cc]
+        bf, h, w, c = x.shape
+        inner = self.num_heads * self.head_dim
+        x_in = x
+        x = GroupNorm(eps=1e-6, name='norm')(x)
+        x = x.reshape(bf, h * w, c)
+        x = nn.Dense(inner, dtype=self.dtype, name='proj_in')(x)
+        x = SpatialTransformerBlock(inner, self.num_heads, self.head_dim,
+                                    dtype=self.dtype, name='block')(
+                                        x, context, h, w)
+        x = nn.Dense(c, dtype=self.dtype, name='proj_out',
+                     kernel_init=nn.initializers.zeros)(x)
+        return x.reshape(bf, h, w, c) + x_in
+
+
+class TemporalTransformer(nn.Module):
+    """Per-pixel transformer over F tokens (unet_v2v.py:970-1092,
+    use_linear=False -> 1x1 conv projections == Dense on channels)."""
+    channels: int
+    num_heads: int
+    head_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        # x: [B, F, H, W, C]
+        b, f, h, w, c = x.shape
+        inner = self.num_heads * self.head_dim
+        x_in = x
+        x = GroupNorm(eps=1e-6, name='norm')(x)
+        # [B, F, H, W, C] -> [B*HW, F, C]
+        x = x.transpose(0, 2, 3, 1, 4).reshape(b * h * w, f, c)
+        x = nn.Dense(inner, dtype=self.dtype, name='proj_in')(x)
+        x = TemporalTransformerBlock(inner, self.num_heads, self.head_dim,
+                                     dtype=self.dtype, name='block')(x)
+        x = nn.Dense(c, dtype=self.dtype, name='proj_out',
+                     kernel_init=nn.initializers.zeros)(x)
+        x = x.reshape(b, h, w, f, c).transpose(0, 3, 1, 2, 4)
+        return x + x_in
+
+
+class TemporalConvBlockV2(nn.Module):
+    """4x (GN+SiLU+[Dropout]+Conv k=(3,1,1)) residual temporal conv
+    (unet_v2v.py:1194-1278). Channels-last: the (3,1,1) Conv3d over
+    [B,C,F,H,W] is a (3,1) conv over [B, F, HW, C]."""
+    channels: int
+    dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        # x: [B, F, H, W, C]
+        b, f, h, w, c = x.shape
+        identity = x
+        x = x.reshape(b, f, h * w, c)
+
+        def conv_stage(x, name, first):
+            x = GroupNorm(name=f'{name}_norm')(x)
+            x = jax.nn.silu(x.astype(jnp.float32)).astype(self.dtype)
+            if not first and self.dropout > 0:
+                x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
+            init = (nn.initializers.zeros if name == 'conv4'
+                    else nn.initializers.lecun_normal())
+            return nn.Conv(self.channels, (3, 1), padding=((1, 1), (0, 0)),
+                           dtype=self.dtype, kernel_init=init,
+                           name=f'{name}')(x)
+
+        x = conv_stage(x, 'conv1', True)
+        x = conv_stage(x, 'conv2', False)
+        x = conv_stage(x, 'conv3', False)
+        x = conv_stage(x, 'conv4', False)
+        return identity + x.reshape(b, f, h, w, c)
+
+
+class ResBlock(nn.Module):
+    """GN/SiLU/Conv residual block with timestep-embedding add and a trailing
+    temporal conv (unet_v2v.py:570-692; use_scale_shift_norm=False in STAR)."""
+    out_channels: int
+    dropout: float = 0.1
+    use_temporal_conv: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, emb: jax.Array, frames: int,
+                 deterministic: bool = True) -> jax.Array:
+        # x: [BF, H, W, C]; emb: [BF, E]
+        bf, hh, ww, c = x.shape
+        h = GroupNorm(name='in_norm')(x)
+        h = jax.nn.silu(h.astype(jnp.float32)).astype(self.dtype)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+                    name='in_conv')(h)
+        e = jax.nn.silu(emb.astype(jnp.float32)).astype(self.dtype)
+        e = nn.Dense(self.out_channels, dtype=self.dtype, name='emb_proj')(e)
+        h = h + e[:, None, None, :]
+        h = GroupNorm(name='out_norm')(h)
+        h = jax.nn.silu(h.astype(jnp.float32)).astype(self.dtype)
+        if self.dropout > 0:
+            h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+                    kernel_init=nn.initializers.zeros, name='out_conv')(h)
+        if c == self.out_channels:
+            skip = x
+        else:
+            skip = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
+                           name='skip')(x)
+        h = skip + h
+
+        if self.use_temporal_conv:
+            b = bf // frames
+            h5 = h.reshape(b, frames, hh, ww, self.out_channels)
+            h5 = TemporalConvBlockV2(self.out_channels, dropout=0.1,
+                                     dtype=self.dtype, name='temporal_conv')(
+                                         h5, deterministic=deterministic)
+            h = h5.reshape(bf, hh, ww, self.out_channels)
+        return h
+
+
+class Downsample(nn.Module):
+    """Stride-2 conv with the reference's asymmetric padding (H pad 2, W pad 1
+    -> H/2+1 x W/2; unet_v2v.py:695-729)."""
+    channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return nn.Conv(self.channels, (3, 3), strides=2,
+                       padding=((2, 2), (1, 1)), dtype=self.dtype,
+                       name='conv')(x)
+
+
+class Upsample(nn.Module):
+    """Nearest 2x + crop 1 row top/bottom + 3x3 conv (unet_v2v.py:532-567) —
+    the inverse of Downsample's asymmetric padding."""
+    channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x = upsample2x_nearest(x)
+        x = x[:, 1:-1, :, :]
+        return nn.Conv(self.channels, (3, 3), padding=1, dtype=self.dtype,
+                       name='conv')(x)

@@ -1,0 +1,97 @@
+"""Multi-head attention for the video backbones.
+
+Two backends behind one functional API:
+  * 'xla'    — einsum + fp32 softmax; XLA fuses well at short/medium seq.
+  * 'pallas' — flash-attention TPU kernel (ops/flash_attention.py) for the
+               long spatial sequences (hw up to ~26k tokens at 720p+ latents),
+               where materializing the logits matrix would blow HBM.
+
+The reference runs every attention through xformers CUDA kernels
+(unet_v2v.py:179-185) with fp32 softmax for the math path (unet_v2v.py:356-360);
+here softmax always accumulates in fp32 regardless of compute dtype.
+
+Layout: q [B, Sq, H, D], k/v [B, Sk, H, D] (batch, seq, heads, head_dim),
+returns [B, Sq, H, D].
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+
+_BACKEND = 'auto'
+
+
+def set_attention_backend(name: str) -> None:
+    """'auto' | 'xla' | 'pallas'."""
+    global _BACKEND
+    assert name in ('auto', 'xla', 'pallas')
+    _BACKEND = name
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() not in ('cpu',)
+    except Exception:  # pragma: no cover
+        return False
+
+
+def _xla_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                   scale: float) -> jax.Array:
+    dtype = q.dtype
+    logits = jnp.einsum('bqhd,bkhd->bhqk', q, k,
+                        preferred_element_type=jnp.float32) * scale
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    out = jnp.einsum('bhqk,bkhd->bqhd', probs.astype(dtype), v,
+                     preferred_element_type=jnp.float32)
+    return out.astype(dtype)
+
+
+def dot_product_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                          scale: float | None = None,
+                          backend: str | None = None) -> jax.Array:
+    """Plain (non-causal, unmasked) multi-head attention.
+
+    All attention in the I2VGen-XL UNet is unmasked (self or text-cross);
+    causal masking lives with the CLIP/T5 towers which use their own path.
+    """
+    assert q.ndim == 4 and k.ndim == 4 and v.ndim == 4
+    d = q.shape[-1]
+    scale = (1.0 / math.sqrt(d)) if scale is None else scale
+
+    be = backend or _BACKEND
+    if be == 'auto':
+        # pallas flash attention pays off once the logits matrix is big;
+        # short sequences (temporal attn over f<=64, text cross-attn k=77)
+        # are faster through plain XLA fusion.
+        use_pallas = _on_tpu() and q.shape[1] >= 512 and k.shape[1] >= 512
+        be = 'pallas' if use_pallas else 'xla'
+
+    if be == 'pallas':
+        try:
+            from .flash_attention import flash_attention
+        except ImportError:
+            pass
+        else:
+            return flash_attention(q, k, v, scale=scale)
+    return _xla_attention(q, k, v, scale)
+
+
+def attention_qkv(x: jax.Array, context: jax.Array, wq, wk, wv, wo, bo,
+                  num_heads: int, scale: float | None = None) -> jax.Array:
+    """Fused qkv-projection + attention + out-projection helper.
+
+    x: [B, Sq, C]; context: [B, Sk, Cc]; weights are plain arrays so callers
+    (flax modules) keep ownership of params.
+    """
+    b, sq, _ = x.shape
+    sk = context.shape[1]
+    q = (x @ wq).reshape(b, sq, num_heads, -1)
+    k = (context @ wk).reshape(b, sk, num_heads, -1)
+    v = (context @ wv).reshape(b, sk, num_heads, -1)
+    out = dot_product_attention(q, k, v, scale=scale)
+    out = out.reshape(b, sq, -1)
+    return out @ wo + bo

@@ -1,0 +1,5 @@
+from .video_sr import STARPipeline, ModelBundle
+from .chunking import make_chunks, sliding_windows_1d, stitch_slices, chunked_x0_fn
+from .color_fix import (adain_color_fix, wavelet_color_fix,
+                        adaptive_instance_normalization,
+                        wavelet_reconstruction)

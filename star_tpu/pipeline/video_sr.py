@@ -1,0 +1,156 @@
+"""End-to-end I2VGen-XL video super-resolution pipeline, TPU-first.
+
+Behavioral reference: VideoToVideo_sr.test (video_to_video_model.py:75-139)
+and the STAR driver class (inference_sr.py:21-84).
+
+Everything between host video I/O and the returned frames runs as ONE jitted
+XLA graph per shape bucket — bilinear 4x upsample, pad-to-grid, VAE encode,
+SDEdit diffuse to t=total_noise_levels-1, chunked CFG denoising with the
+DPM++(2M)-SDE scan, windowed temporal VAE decode, unpad, and AdaIN color fix
+(the BASELINE.json north star: HBM-in -> HBM-out, no host round-trips).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import PipelineConfig
+from ..diffusion import (DiffusionTables, Schedule, build_sigma_ladder,
+                         default_star_schedule, denoise_to_x0, diffuse,
+                         sample_dpmpp_2m_sde, sample_heun)
+from ..ops.resize import pad_to_fit, resize_bilinear
+from .chunking import chunked_x0_fn, make_chunks
+from .color_fix import adain_color_fix, wavelet_color_fix
+
+
+@dataclasses.dataclass
+class ModelBundle:
+    """The three networks the pipeline drives. apply-style callables keep the
+    pipeline agnostic of flax/param details:
+      unet_apply(x, t, y, hint) -> v        [B,F,h,w,4] latents
+      vae_encode(video, key) -> latents     [B,F,H,W,3] -> [B,F,H/8,W/8,4]
+      vae_decode(latents) -> video          inverse, scaled
+      text_encode(tokens) -> y              [B,77] -> [B,77,1024]
+    """
+    unet_apply: Callable[..., jax.Array]
+    vae_encode: Callable[..., jax.Array]
+    vae_decode: Callable[..., jax.Array]
+    text_encode: Callable[..., jax.Array]
+    tokenizer: Any
+
+
+class STARPipeline:
+    """JAX counterpart of the reference STAR class (inference_sr.py:21)."""
+
+    def __init__(self, models: ModelBundle,
+                 config: PipelineConfig = PipelineConfig(),
+                 schedule: Optional[Schedule] = None):
+        self.models = models
+        self.cfg = config
+        self.schedule = schedule or default_star_schedule()
+        self.tables = DiffusionTables.from_schedule(self.schedule)
+        self._run_cache = {}
+        self._text_cache = {}
+
+    # ------------------------------------------------------------------ text
+    def encode_prompt(self, prompt: str) -> jax.Array:
+        if prompt not in self._text_cache:
+            tokens = jnp.asarray(self.models.tokenizer([prompt]))
+            self._text_cache[prompt] = jax.jit(self.models.text_encode)(tokens)
+        return self._text_cache[prompt]
+
+    # ------------------------------------------------------------------ core
+    def _build_run(self, f: int, h: int, w: int, target_h: int, target_w: int):
+        """Jitted whole-clip graph for one shape bucket."""
+        cfg = self.cfg
+        sc = cfg.sampler
+        padding = pad_to_fit(target_h, target_w, cfg.pad_grid)
+        w1, w2, h1, h2 = padding
+        pad_h, pad_w = target_h + h1 + h2, target_w + w1 + w2
+        chunk_inds = (make_chunks(f, cfg.max_chunk_len,
+                                  chunk_overlap_ratio=cfg.chunk_overlap_ratio)
+                      if f > cfg.max_chunk_len else [(0, f)])
+        sigmas = build_sigma_ladder(
+            self.schedule, steps=sc.steps, t_max=sc.total_noise_levels - 1,
+            t_min=0, solver_mode=sc.solver_mode,
+            discretization=sc.discretization)
+        tables = self.tables
+        models = self.models
+
+        def run(video: jax.Array, y_cond: jax.Array, y_uncond: jax.Array,
+                key: jax.Array) -> jax.Array:
+            # video: [F, H, W, 3] in [-1, 1]
+            k_enc, k_diff, k_solve = jax.random.split(key, 3)
+            up = resize_bilinear(video, target_h, target_w)
+            padded = jnp.pad(up[None], ((0, 0), (0, 0), (h1, h2), (w1, w2),
+                                        (0, 0)),
+                             constant_values=cfg.pad_value)
+            z_lq = models.vae_encode(padded, k_enc)        # [1,F,ph/8,pw/8,4]
+
+            t_init = jnp.full((1,), sc.total_noise_levels - 1, jnp.int32)
+            noise = jax.random.normal(k_diff, z_lq.shape, jnp.float32)
+            noised = diffuse(tables, z_lq.astype(jnp.float32), t_init, noise)
+
+            def denoise_chunk(xt, hint, t):
+                bb = xt.shape[0]
+                xp = jnp.concatenate([xt, xt], axis=0)
+                hp = jnp.concatenate([hint, hint], axis=0)
+                yp = jnp.concatenate([jnp.tile(y_cond, (bb, 1, 1)),
+                                      jnp.tile(y_uncond, (bb, 1, 1))], axis=0)
+                tp = jnp.full((2 * bb,), t, jnp.int32)
+                v = models.unet_apply(xp, tp, yp, hp)
+                v_c, v_u = jnp.split(v, 2, axis=0)
+                return denoise_to_x0(tables, xt, jnp.full((bb,), t), v_c, v_u,
+                                     guide_scale=sc.guide_scale,
+                                     guide_rescale=sc.guide_rescale)
+
+            x0_fn = chunked_x0_fn(denoise_chunk, z_lq, chunk_inds)
+            solver = (sample_dpmpp_2m_sde if sc.solver == 'dpmpp_2m_sde'
+                      else sample_heun)
+            gen = solver(x0_fn, noised, self.schedule, sigmas, k_solve)
+
+            out = models.vae_decode(gen)                    # [1,F,ph,pw,3]
+            out = out[0, :, h1:h1 + target_h, w1:w1 + target_w, :]
+            out = jnp.clip(out.astype(jnp.float32) * 0.5 + 0.5, 0.0, 1.0) * 255.0
+            if cfg.color_fix == 'adain':
+                out = adain_color_fix(out, video)
+            elif cfg.color_fix == 'wavelet':
+                out = wavelet_color_fix(out, video)
+            return out
+
+        return jax.jit(run)
+
+    # ------------------------------------------------------------- interface
+    def enhance_a_video(self, frames: np.ndarray, prompt: str,
+                        seed: int = 666,
+                        target_res: Optional[tuple[int, int]] = None
+                        ) -> np.ndarray:
+        """frames: [F, H, W, 3] uint8 RGB -> [F, target_H, target_W, 3] uint8.
+
+        Mirrors STAR.enhance_a_video (inference_sr.py:50-84): caption =
+        prompt + positive_prompt, target = upscale*(h, w), seed 666 default.
+        """
+        f, h, w, _ = frames.shape
+        if target_res is None:
+            target_h, target_w = h * self.cfg.upscale, w * self.cfg.upscale
+        else:
+            target_h, target_w = target_res
+
+        video = frames.astype(np.float32) / 255.0
+        video = (video - 0.5) / 0.5
+
+        y_cond = self.encode_prompt(prompt + self.cfg.positive_prompt)
+        y_uncond = self.encode_prompt(self.cfg.negative_prompt)
+
+        bucket = (f, h, w, target_h, target_w)
+        if bucket not in self._run_cache:
+            self._run_cache[bucket] = self._build_run(*bucket)
+        out = self._run_cache[bucket](jnp.asarray(video), y_cond, y_uncond,
+                                      jax.random.PRNGKey(seed))
+        return np.asarray(jax.device_get(out)).round().astype(np.uint8)

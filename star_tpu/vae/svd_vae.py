@@ -1,0 +1,268 @@
+"""Stable-Video-Diffusion temporal-decoder VAE (AutoencoderKLTemporalDecoder),
+TPU-first.
+
+Behavioral reference: the diffusers model instantiated at
+/root/reference/video_to_video/video_to_video_model.py:57-63 and chunk-decoded
+at :141-161 — a standard SD 2D encoder (ch 128, mults [1,2,4,4], 2 res blocks,
+mid attention, double-z 4ch latents, scaling 0.18215) plus SVD's TemporalDecoder
+(SpatioTemporalResBlocks with learned alpha blending, (3,1,1) temporal convs,
+final time_conv_out).
+
+Layout: channels-last. encode() is per-frame 2D and batches all frames in one
+call (the reference's chunk_size=1 python loop is a VRAM workaround, not
+semantics). decode() consumes [B, F, h, w, 4] latents; the reference decodes
+independent 3-frame windows (video_to_video_model.py:144-151), which we
+reproduce by folding the windows into the batch dim — one device call, no
+host loop.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.norms import group_norm
+from ..ops.resize import upsample2x_nearest
+
+SVD_VAE_SCALING = 0.18215
+
+
+class GroupNorm(nn.Module):
+    num_groups: int = 32
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        scale = self.param('scale', nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param('bias', nn.initializers.zeros, (c,), jnp.float32)
+        return group_norm(x, scale, bias, self.num_groups, self.eps)
+
+
+class ResnetBlock2D(nn.Module):
+    """SD VAE residual block (no time embedding)."""
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        h = GroupNorm(name='norm1')(x)
+        h = jax.nn.silu(h.astype(jnp.float32)).astype(self.dtype)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+                    name='conv1')(h)
+        h = GroupNorm(name='norm2')(h)
+        h = jax.nn.silu(h.astype(jnp.float32)).astype(self.dtype)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+                    name='conv2')(h)
+        if c != self.out_channels:
+            x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
+                        name='conv_shortcut')(x)
+        return x + h
+
+
+class TemporalResnetBlock(nn.Module):
+    """(3,1,1) temporal conv residual block; x is [B, F, H, W, C]."""
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, f, hh, ww, c = x.shape
+        xf = x.reshape(b, f, hh * ww, c)
+        h = GroupNorm(name='norm1')(xf)
+        h = jax.nn.silu(h.astype(jnp.float32)).astype(self.dtype)
+        h = nn.Conv(self.out_channels, (3, 1), padding=((1, 1), (0, 0)),
+                    dtype=self.dtype, name='conv1')(h)
+        h = GroupNorm(name='norm2')(h)
+        h = jax.nn.silu(h.astype(jnp.float32)).astype(self.dtype)
+        h = nn.Conv(self.out_channels, (3, 1), padding=((1, 1), (0, 0)),
+                    dtype=self.dtype, name='conv2')(h)
+        if c != self.out_channels:
+            xf = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
+                         name='conv_shortcut')(xf)
+        return (xf + h).reshape(b, f, hh, ww, self.out_channels)
+
+
+class SpatioTemporalResBlock(nn.Module):
+    """Spatial res block per-frame + temporal res block + learned alpha blend
+    (diffusers SpatioTemporalResBlock w/ AlphaBlender, learned strategy,
+    switch_spatial_to_temporal_mix=True: out = (1-sigmoid(a))*spatial +
+    sigmoid(a)*temporal)."""
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        # x: [B, F, H, W, C]
+        b, f, hh, ww, c = x.shape
+        h2d = ResnetBlock2D(self.out_channels, dtype=self.dtype,
+                            name='spatial_res_block')(
+                                x.reshape(b * f, hh, ww, c))
+        h_sp = h2d.reshape(b, f, hh, ww, self.out_channels)
+        h_tm = TemporalResnetBlock(self.out_channels, dtype=self.dtype,
+                                   name='temporal_res_block')(h_sp)
+        mix = self.param('mix_factor', nn.initializers.constant(0.5), (1,),
+                         jnp.float32)
+        alpha = jax.nn.sigmoid(mix)[0]  # weight on the temporal branch
+        return ((1.0 - alpha) * h_sp.astype(jnp.float32)
+                + alpha * h_tm.astype(jnp.float32)).astype(self.dtype)
+
+
+class VaeAttention(nn.Module):
+    """Single-head attention block of the SD VAE mid stage."""
+    channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        bf, hh, ww, c = x.shape
+        residual = x
+        h = GroupNorm(name='group_norm')(x).reshape(bf, hh * ww, c)
+        q = nn.Dense(c, dtype=self.dtype, name='to_q')(h)
+        k = nn.Dense(c, dtype=self.dtype, name='to_k')(h)
+        v = nn.Dense(c, dtype=self.dtype, name='to_v')(h)
+        logits = jnp.einsum('bqc,bkc->bqk', q, k,
+                            preferred_element_type=jnp.float32)
+        probs = jax.nn.softmax(logits * (1.0 / jnp.sqrt(c)), axis=-1)
+        h = jnp.einsum('bqk,bkc->bqc', probs.astype(self.dtype), v)
+        h = nn.Dense(c, dtype=self.dtype, name='to_out')(h)
+        return h.reshape(bf, hh, ww, c) + residual
+
+
+class Encoder(nn.Module):
+    """SD 2D encoder -> 2*latent_channels moments. x: [N, H, W, 3]."""
+    block_out_channels: Sequence[int] = (128, 256, 512, 512)
+    layers_per_block: int = 2
+    latent_channels: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        chs = self.block_out_channels
+        h = nn.Conv(chs[0], (3, 3), padding=1, dtype=self.dtype,
+                    name='conv_in')(x.astype(self.dtype))
+        for i, ch in enumerate(chs):
+            for j in range(self.layers_per_block):
+                h = ResnetBlock2D(ch, dtype=self.dtype,
+                                  name=f'down_{i}_res_{j}')(h)
+            if i != len(chs) - 1:
+                # SD VAE downsample: pad (0,1) right/bottom, stride-2 conv
+                h = jnp.pad(h, ((0, 0), (0, 1), (0, 1), (0, 0)))
+                h = nn.Conv(ch, (3, 3), strides=2, padding=0,
+                            dtype=self.dtype, name=f'down_{i}_downsample')(h)
+        h = ResnetBlock2D(chs[-1], dtype=self.dtype, name='mid_res_1')(h)
+        h = VaeAttention(chs[-1], dtype=self.dtype, name='mid_attn')(h)
+        h = ResnetBlock2D(chs[-1], dtype=self.dtype, name='mid_res_2')(h)
+        h = GroupNorm(name='conv_norm_out')(h)
+        h = jax.nn.silu(h.astype(jnp.float32)).astype(self.dtype)
+        h = nn.Conv(2 * self.latent_channels, (3, 3), padding=1,
+                    dtype=self.dtype, name='conv_out')(h)
+        # quant_conv of AutoencoderKLTemporalDecoder (1x1, 8->8)
+        return nn.Conv(2 * self.latent_channels, (1, 1), dtype=self.dtype,
+                       name='quant_conv')(h)
+
+
+class TemporalDecoder(nn.Module):
+    """SVD temporal decoder. z: [B, F, h, w, 4] -> [B, F, 8h, 8w, 3]."""
+    block_out_channels: Sequence[int] = (128, 256, 512, 512)
+    layers_per_block: int = 2
+    out_channels: int = 3
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, z):
+        b, f, hh, ww, cz = z.shape
+        chs = list(reversed(self.block_out_channels))  # [512,512,256,128]
+        x = nn.Conv(chs[0], (3, 3), padding=1, dtype=self.dtype,
+                    name='conv_in')(z.astype(self.dtype).reshape(b * f, hh, ww, cz))
+        x = x.reshape(b, f, hh, ww, chs[0])
+
+        # mid: res, attn (per frame), res  (MidBlockTemporalDecoder)
+        x = SpatioTemporalResBlock(chs[0], dtype=self.dtype, name='mid_res_0')(x)
+        bq, fq, hq, wq, cq = x.shape
+        x2 = VaeAttention(cq, dtype=self.dtype, name='mid_attn')(
+            x.reshape(bq * fq, hq, wq, cq))
+        x = x2.reshape(bq, fq, hq, wq, cq)
+        x = SpatioTemporalResBlock(chs[0], dtype=self.dtype, name='mid_res_1')(x)
+
+        for i, ch in enumerate(chs):
+            for j in range(self.layers_per_block + 1):
+                x = SpatioTemporalResBlock(ch, dtype=self.dtype,
+                                           name=f'up_{i}_res_{j}')(x)
+            if i != len(chs) - 1:
+                bq, fq, hq, wq, cq = x.shape
+                x2 = upsample2x_nearest(x.reshape(bq * fq, hq, wq, cq))
+                x2 = nn.Conv(cq, (3, 3), padding=1, dtype=self.dtype,
+                             name=f'up_{i}_upsample')(x2)
+                x = x2.reshape(bq, fq, hq * 2, wq * 2, cq)
+
+        b2, f2, h2, w2, c2 = x.shape
+        x = GroupNorm(name='conv_norm_out')(x)
+        x = jax.nn.silu(x.astype(jnp.float32)).astype(self.dtype)
+        x = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+                    name='conv_out')(x.reshape(b2 * f2, h2, w2, c2))
+        x = x.reshape(b2, f2, h2 * w2, self.out_channels)
+        # time_conv_out: Conv3d k=(3,1,1) over frames
+        x = nn.Conv(self.out_channels, (3, 1), padding=((1, 1), (0, 0)),
+                    dtype=self.dtype, name='time_conv_out')(x)
+        return x.reshape(b2, f2, h2, w2, self.out_channels)
+
+
+class SVDTemporalVAE(nn.Module):
+    """encode(video) -> latent moments; decode(latents) -> video.
+
+    Frames are [B, F, H, W, 3] in [-1, 1]; latents [B, F, H/8, W/8, 4]
+    pre-multiplied by SVD_VAE_SCALING to match the diffusion operating range
+    (video_to_video_model.py:153-161).
+    """
+    dtype: jnp.dtype = jnp.float32
+    decode_window: int = 3  # reference decodes 3-frame windows (:127)
+
+    def setup(self):
+        self.encoder = Encoder(dtype=self.dtype, name='encoder')
+        self.decoder = TemporalDecoder(dtype=self.dtype, name='decoder')
+
+    def encode_moments(self, video):
+        b, f, hh, ww, c = video.shape
+        moments = self.encoder(video.reshape(b * f, hh, ww, c))
+        return moments.reshape(b, f, hh // 8, ww // 8, -1)
+
+    def encode(self, video, key=None):
+        """-> scaled latents [B,F,h,w,4]; stochastic sample if key given."""
+        moments = self.encode_moments(video)
+        mean, logvar = jnp.split(moments, 2, axis=-1)
+        if key is not None:
+            logvar = jnp.clip(logvar, -30.0, 20.0)
+            std = jnp.exp(0.5 * logvar.astype(jnp.float32))
+            mean = mean + std.astype(mean.dtype) * jax.random.normal(
+                key, mean.shape, mean.dtype)
+        return mean * SVD_VAE_SCALING
+
+    def decode(self, latents):
+        """Scaled latents [B,F,h,w,4] -> video [B,F,8h,8w,3].
+
+        Folds the reference's 3-frame serial decode windows into the batch
+        dim: each window sees zero temporal padding at its edges, exactly like
+        the reference's independent decoder calls.
+        """
+        z = latents / SVD_VAE_SCALING
+        b, f, hh, ww, c = z.shape
+        win = self.decode_window
+        n_full = f // win
+        outs = []
+        if n_full:
+            zw = z[:, :n_full * win].reshape(b * n_full, win, hh, ww, c)
+            dec = self.decoder(zw)
+            outs.append(dec.reshape(b, n_full * win, hh * 8, ww * 8, -1))
+        rem = f - n_full * win
+        if rem:
+            outs.append(self.decoder(z[:, n_full * win:]))
+        return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
+
+    def __call__(self, video, key=None):
+        z = self.encode(video, key)
+        return self.decode(z)

@@ -1,0 +1,85 @@
+"""Parity tests of the on-device color fix vs the torch reference."""
+
+import importlib.util
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from star_tpu.pipeline.color_fix import (adain_color_fix,
+                                         wavelet_color_fix,
+                                         wavelet_decomposition)
+
+REF = '/root/reference/video_super_resolution/color_fix.py'
+
+
+@pytest.fixture(scope='module')
+def ref_mod():
+    torch = pytest.importorskip('torch')
+    # the reference file imports torchvision transforms it never uses for the
+    # functions under test; stub them out (torchvision isn't in this image)
+    import sys
+    import types
+    if 'torchvision' not in sys.modules:
+        tv = types.ModuleType('torchvision')
+        tr = types.ModuleType('torchvision.transforms')
+        tr.ToTensor = object
+        tr.ToPILImage = object
+        tv.transforms = tr
+        sys.modules['torchvision'] = tv
+        sys.modules['torchvision.transforms'] = tr
+    spec = importlib.util.spec_from_file_location('ref_color_fix', REF)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _data():
+    rng = np.random.RandomState(0)
+    target = rng.uniform(0, 255, (3, 16, 20, 3)).astype(np.float32)
+    source = rng.uniform(-1, 1, (3, 12, 14, 3)).astype(np.float32)
+    return target, source
+
+
+def test_adain_matches_reference(ref_mod):
+    import torch
+    target, source = _data()
+    ours = np.asarray(adain_color_fix(jnp.asarray(target), jnp.asarray(source)))
+    # reference expects source as [T, H, W, C]->rearranged internally from
+    # T C H W? No: adain_color_fix takes target [T,H,W,C], source [T,C,H,W]
+    ref = ref_mod.adain_color_fix(
+        torch.from_numpy(target),
+        torch.from_numpy(source.transpose(0, 3, 1, 2))).numpy()
+    np.testing.assert_allclose(ours, ref, atol=1e-2)
+
+
+def test_wavelet_matches_reference(ref_mod):
+    import torch
+    target, source = _data()
+    # wavelet reconstruction needs same spatial size
+    source = np.resize(source, target.shape).astype(np.float32)
+    ours = np.asarray(wavelet_color_fix(jnp.asarray(target), jnp.asarray(source)))
+    ref = ref_mod.wavelet_color_fix(
+        torch.from_numpy(target),
+        torch.from_numpy(source.transpose(0, 3, 1, 2))).numpy()
+    np.testing.assert_allclose(ours, ref, atol=1e-2)
+
+
+def test_adain_transfers_stats():
+    """After AdaIN, output per-frame/channel mean/std match the source's."""
+    target, source = _data()
+    out = np.asarray(adain_color_fix(jnp.asarray(target), jnp.asarray(source)))
+    out01 = out / 255.0
+    src01 = (source + 1) / 2
+    for fidx in range(3):
+        for c in range(3):
+            np.testing.assert_allclose(out01[fidx, :, :, c].mean(),
+                                       src01[fidx, :, :, c].mean(), atol=0.05)
+
+
+def test_wavelet_decomposition_partition():
+    """high + low == original (the decomposition is exact)."""
+    rng = np.random.RandomState(1)
+    img = jnp.asarray(rng.uniform(0, 1, (2, 32, 32, 3)).astype(np.float32))
+    hi, lo = wavelet_decomposition(img)
+    np.testing.assert_allclose(np.asarray(hi + lo), np.asarray(img), atol=1e-5)
