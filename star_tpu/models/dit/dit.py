@@ -1,0 +1,329 @@
+"""CogVideoX-5B DiT with STAR's SR modifications, TPU-first.
+
+Behavioral reference: cogvideox-based/sat/dit_video_concat.py (mixins) +
+cogvideox-based/transformer.py (SAT base layers with LIEM added).
+
+Config (cogvideox_5b_infer_sr.yaml): 42 layers, hidden 3072, 48 heads
+(head_dim 64), patch 2, latent 16ch (proj_sr consumes 32 = noisy||LQ
+channel-concat), text T5-XXL 4096 -> 3072, text_length 226, time_embed 512,
+adaLN-Zero 12-way per layer with separate text/img modulation, qk-LayerNorm,
+3D RoPE (t:h:w = 16:24:24 of head_dim 64) on image tokens only, LIEM
+spatial+temporal gates on the modulated attention input, final adaLN +
+unpatchify. LoRA r=512 lives on the attention projections at training time
+(lora_rank>0); converted checkpoints merge it.
+
+TPU-first deltas: channels-last [B,T,H,W,C]; the 42 layers run under
+lax.scan over stacked per-layer params (one compile of one layer); attention
+uses ops.attention (Pallas flash at these ~10k-token sequences); RoPE tables
+are host-precomputed static constants.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ...ops.attention import dot_product_attention
+from ...ops.norms import layer_norm
+from ..unet.blocks import sinusoidal_embedding
+
+
+def rope_3d_tables(t_size: int, height: int, width: int, head_dim: int,
+                   theta: float = 10000.0) -> Tuple[np.ndarray, np.ndarray]:
+    """(cos, sin) tables [T*H*W, head_dim] for the interleaved-pair RoPE
+    (dit_video_concat.py:254-311): dims split t=hd/4, h=w=3*hd/8; each
+    frequency repeated twice (pair-interleaved)."""
+    dim_t = head_dim // 4
+    dim_h = head_dim // 8 * 3
+    dim_w = head_dim // 8 * 3
+
+    def freqs(dim):
+        return 1.0 / (theta ** (np.arange(0, dim, 2)[: dim // 2] / dim))
+
+    ft = np.outer(np.arange(t_size), freqs(dim_t))
+    fh = np.outer(np.arange(height), freqs(dim_h))
+    fw = np.outer(np.arange(width), freqs(dim_w))
+    rep2 = lambda a: np.repeat(a, 2, axis=-1)
+    ft, fh, fw = rep2(ft), rep2(fh), rep2(fw)
+    full = np.concatenate([
+        np.broadcast_to(ft[:, None, None, :], (t_size, height, width, dim_t)),
+        np.broadcast_to(fh[None, :, None, :], (t_size, height, width, dim_h)),
+        np.broadcast_to(fw[None, None, :, :], (t_size, height, width, dim_w)),
+    ], axis=-1).reshape(t_size * height * width, head_dim)
+    return np.cos(full), np.sin(full)
+
+
+def rotate_half_interleaved(x: jax.Array) -> jax.Array:
+    """(x0,x1,x2,x3,...) -> (-x1,x0,-x3,x2,...) (dit_video_concat.py:247-251)."""
+    x2 = x.reshape(x.shape[:-1] + (-1, 2))
+    a, b = x2[..., 0], x2[..., 1]
+    return jnp.stack([-b, a], axis=-1).reshape(x.shape)
+
+
+def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """x: [B, S, H, D]; cos/sin: [S, D]."""
+    c = cos[None, :, None, :].astype(jnp.float32)
+    s = sin[None, :, None, :].astype(jnp.float32)
+    x32 = x.astype(jnp.float32)
+    return (x32 * c + rotate_half_interleaved(x32) * s).astype(x.dtype)
+
+
+def modulate(x, shift, scale):
+    return x * (1.0 + scale[:, None, :]) + shift[:, None, :]
+
+
+class SpatialLIEMTokens(nn.Module):
+    """LIEM spatial gate on [BT, H, W, C] (transformer.py:316-340)."""
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        mx = jnp.max(x, axis=-1, keepdims=True)
+        mn = jnp.mean(x, axis=-1, keepdims=True)
+        w = nn.Conv(1, (7, 7), padding=3, use_bias=False, dtype=self.dtype,
+                    name='conv')(jnp.concatenate([mx, mn], axis=-1))
+        return jax.nn.sigmoid(w.astype(jnp.float32)).astype(x.dtype) * x
+
+
+class TemporalLIEMTokens(nn.Module):
+    """LIEM temporal gate on [BHW, T, C] (transformer.py:342-365)."""
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        mx = jnp.max(x, axis=-1, keepdims=True)
+        mn = jnp.mean(x, axis=-1, keepdims=True)
+        w = nn.Dense(1, use_bias=False, dtype=self.dtype, name='proj')(
+            jnp.concatenate([mx, mn], axis=-1))
+        return jax.nn.sigmoid(w.astype(jnp.float32)).astype(x.dtype) * x
+
+
+class LoraDense(nn.Module):
+    """Dense with optional additive LoRA (SAT LoraMixin r=512 on attention
+    projections; B zero-init so init == base)."""
+    features: int
+    lora_rank: int = 0
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        y = nn.Dense(self.features, use_bias=self.use_bias, dtype=self.dtype,
+                     name='base')(x)
+        if self.lora_rank > 0:
+            a = nn.Dense(self.lora_rank, use_bias=False, dtype=self.dtype,
+                         name='lora_a')(x)
+            y = y + nn.Dense(self.features, use_bias=False, dtype=self.dtype,
+                             kernel_init=nn.initializers.zeros,
+                             name='lora_b')(a)
+        return y
+
+
+class DiTLayer(nn.Module):
+    hidden_size: int
+    num_heads: int
+    text_length: int
+    t_size: int
+    height: int
+    width: int
+    lora_rank: int = 0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, h_states: jax.Array, emb: jax.Array,
+                 rope_cos: jax.Array, rope_sin: jax.Array) -> jax.Array:
+        hd = self.hidden_size // self.num_heads
+        tl = self.text_length
+        b, s, c = h_states.shape
+
+        mod = nn.Dense(12 * self.hidden_size, dtype=self.dtype,
+                       name='adaln')(jax.nn.silu(emb.astype(jnp.float32))
+                                     .astype(self.dtype))
+        (sh_msa, sc_msa, g_msa, sh_mlp, sc_mlp, g_mlp,
+         t_sh_msa, t_sc_msa, t_g_msa, t_sh_mlp, t_sc_mlp, t_g_mlp) = \
+            jnp.split(mod, 12, axis=-1)
+
+        def make_ln(name):
+            scale = self.param(f'{name}_scale', nn.initializers.ones,
+                               (c,), jnp.float32)
+            bias = self.param(f'{name}_bias', nn.initializers.zeros,
+                              (c,), jnp.float32)
+            return lambda x: layer_norm(x, scale, bias, eps=1e-6)
+
+        input_ln = make_ln('input_ln')
+        post_ln = make_ln('post_ln')
+
+        text, img = h_states[:, :tl], h_states[:, tl:]
+
+        # --- attention branch: ONE shared input layernorm applied separately
+        # to text/img parts (dit_video_concat.py:518-521)
+        img_in = modulate(input_ln(img), sh_msa, sc_msa)
+        text_in = modulate(input_ln(text), t_sh_msa, t_sc_msa)
+
+        # LIEM on the modulated image stream (dit_video_concat.py:523-533)
+        bt = b * self.t_size
+        spa = img_in.reshape(b, self.t_size, self.height, self.width, c)
+        spa = SpatialLIEMTokens(dtype=self.dtype, name='spa_local')(
+            spa.reshape(bt, self.height, self.width, c))
+        spa = spa.reshape(b, self.t_size, self.height, self.width, c)
+        tmp = spa.transpose(0, 2, 3, 1, 4).reshape(
+            b * self.height * self.width, self.t_size, c)
+        tmp = TemporalLIEMTokens(dtype=self.dtype, name='temp_local')(tmp)
+        img_in = tmp.reshape(b, self.height, self.width, self.t_size, c) \
+            .transpose(0, 3, 1, 2, 4).reshape(b, s - tl, c)
+
+        attn_in = jnp.concatenate([text_in, img_in], axis=1)
+        qkv = LoraDense(3 * self.hidden_size, self.lora_rank,
+                        dtype=self.dtype, name='qkv')(attn_in)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(b, s, self.num_heads, hd)
+        k = k.reshape(b, s, self.num_heads, hd)
+        v = v.reshape(b, s, self.num_heads, hd)
+        # qk-LN (per layer, shared across heads; dit_video_concat.py:467-480)
+        q = layer_norm(q, self.param('q_ln_scale', nn.initializers.ones,
+                                     (hd,), jnp.float32),
+                       self.param('q_ln_bias', nn.initializers.zeros,
+                                  (hd,), jnp.float32), eps=1e-6)
+        k = layer_norm(k, self.param('k_ln_scale', nn.initializers.ones,
+                                     (hd,), jnp.float32),
+                       self.param('k_ln_bias', nn.initializers.zeros,
+                                  (hd,), jnp.float32), eps=1e-6)
+        # 3D RoPE on image tokens only (dit_video_concat.py:332-333)
+        q = jnp.concatenate([q[:, :tl], apply_rope(q[:, tl:], rope_cos,
+                                                   rope_sin)], axis=1)
+        k = jnp.concatenate([k[:, :tl], apply_rope(k[:, tl:], rope_cos,
+                                                   rope_sin)], axis=1)
+
+        attn = dot_product_attention(q, k, v).reshape(b, s, self.hidden_size)
+        attn = LoraDense(self.hidden_size, self.lora_rank, dtype=self.dtype,
+                         name='dense')(attn)
+
+        text = text + t_g_msa[:, None, :] * attn[:, :tl]
+        img = img + g_msa[:, None, :] * attn[:, tl:]
+
+        # --- mlp branch --------------------------------------------------------
+        img_m = modulate(post_ln(img), sh_mlp, sc_mlp)
+        text_m = modulate(post_ln(text), t_sh_mlp, t_sc_mlp)
+        mlp_in = jnp.concatenate([text_m, img_m], axis=1)
+        hdn = nn.Dense(4 * self.hidden_size, dtype=self.dtype,
+                       name='mlp_fc')(mlp_in)
+        hdn = jax.nn.gelu(hdn.astype(jnp.float32), approximate=True) \
+            .astype(self.dtype)
+        mlp = nn.Dense(self.hidden_size, dtype=self.dtype,
+                       name='mlp_proj')(hdn)
+
+        text = text + t_g_mlp[:, None, :] * mlp[:, :tl]
+        img = img + g_mlp[:, None, :] * mlp[:, tl:]
+        return jnp.concatenate([text, img], axis=1)
+
+
+class _DiTScanCell(nn.Module):
+    """nn.scan cell: carry = (h, emb, rope_cos, rope_sin)."""
+    hidden_size: int
+    num_heads: int
+    text_length: int
+    t_size: int
+    height: int
+    width: int
+    lora_rank: int = 0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, carry, _):
+        h, emb, cos, sin = carry
+        h = DiTLayer(hidden_size=self.hidden_size, num_heads=self.num_heads,
+                     text_length=self.text_length, t_size=self.t_size,
+                     height=self.height, width=self.width,
+                     lora_rank=self.lora_rank, dtype=self.dtype,
+                     name='layer')(h, emb, cos, sin)
+        return (h, emb, cos, sin), None
+
+
+class CogVideoDiT(nn.Module):
+    """x [B, T, H, W, 2*Cz] (noisy||LQ channel-concat), t_idx [B] int,
+    context [B, 226, 4096] -> v-prediction [B, T, H, W, Cz]."""
+    hidden_size: int = 3072
+    num_layers: int = 42
+    num_heads: int = 48
+    patch_size: int = 2
+    latent_channels: int = 16
+    text_hidden_size: int = 4096
+    text_length: int = 226
+    time_embed_dim: int = 512
+    lora_rank: int = 0
+    scan_layers: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, t_idx: jax.Array,
+                 context: jax.Array) -> jax.Array:
+        b, t, hh, ww, cin = x.shape
+        p = self.patch_size
+        hp, wp = hh // p, ww // p
+        c = self.hidden_size
+
+        # timestep embedding (sinusoidal over model_channels=hidden_size,
+        # then 512-dim MLP — dit_video_concat.py:690-694,799-800)
+        e = sinusoidal_embedding(t_idx.astype(jnp.float32), c)
+        e = nn.Dense(self.time_embed_dim, dtype=jnp.float32,
+                     name='time_embed_1')(e)
+        e = jax.nn.silu(e)
+        e = nn.Dense(self.time_embed_dim, dtype=jnp.float32,
+                     name='time_embed_2')(e).astype(self.dtype)
+
+        # patchify (proj_sr, 2x2 stride-2 conv over 32 channels)
+        xf = x.astype(self.dtype).reshape(b * t, hh, ww, cin)
+        emb = nn.Conv(c, (p, p), strides=p, dtype=self.dtype,
+                      name='proj_sr')(xf)
+        emb = emb.reshape(b, t * hp * wp, c)
+        text_emb = nn.Dense(c, dtype=self.dtype, name='text_proj')(
+            context.astype(self.dtype))
+        h_states = jnp.concatenate([text_emb, emb], axis=1)
+
+        cos_np, sin_np = rope_3d_tables(t, hp, wp, c // self.num_heads)
+        rope_cos = jnp.asarray(cos_np, jnp.float32)
+        rope_sin = jnp.asarray(sin_np, jnp.float32)
+
+        layer_cfg = dict(hidden_size=c, num_heads=self.num_heads,
+                         text_length=self.text_length, t_size=t, height=hp,
+                         width=wp, lora_rank=self.lora_rank, dtype=self.dtype)
+
+        if self.scan_layers:
+            # one traced layer, scanned over stacked per-layer params
+            cell = nn.remat(_DiTScanCell, prevent_cse=False)
+            scanned = nn.scan(
+                cell,
+                variable_axes={'params': 0},
+                split_rngs={'params': True},
+                length=self.num_layers,
+                metadata_params={nn.PARTITION_NAME: None},
+            )(**layer_cfg, name='layers')
+            (h_states, _, _, _), _ = scanned((h_states, e, rope_cos, rope_sin),
+                                             None)
+        else:
+            for i in range(self.num_layers):
+                h_states = DiTLayer(**layer_cfg, name=f'layer_{i}')(
+                    h_states, e, rope_cos, rope_sin)
+
+        # final layer (dit_video_concat.py:372-410)
+        img = h_states[:, self.text_length:]
+        fscale = self.param('final_ln_scale', nn.initializers.ones, (c,),
+                            jnp.float32)
+        fbias = self.param('final_ln_bias', nn.initializers.zeros, (c,),
+                           jnp.float32)
+        img = layer_norm(img, fscale, fbias, eps=1e-6)
+        fmod = nn.Dense(2 * c, dtype=self.dtype, name='final_adaln')(
+            jax.nn.silu(e.astype(jnp.float32)).astype(self.dtype))
+        f_shift, f_scale = jnp.split(fmod, 2, axis=-1)
+        img = modulate(img, f_shift, f_scale)
+        img = nn.Dense(p * p * self.latent_channels, dtype=self.dtype,
+                       name='final_linear')(img)
+        # unpatchify: (b, t*hp*wp, p*p*cz) -> (b, t, h, w, cz)
+        img = img.reshape(b, t, hp, wp, self.latent_channels, p, p)
+        img = img.transpose(0, 1, 2, 5, 3, 6, 4)  # b,t,hp,p,wp,p,cz
+        return img.reshape(b, t, hh, ww, self.latent_channels)

@@ -1,0 +1,158 @@
+"""Flash attention for TPU (Pallas), forward pass.
+
+Replaces xformers.memory_efficient_attention (unet_v2v.py:179-185) on the hot
+spatial-attention shapes: at 720p-padded latents the per-frame sequence is
+90*160 = 14.4k tokens (and larger above 720p), where materializing the
+[S, S] logits matrix in HBM is impossible — the online-softmax streaming
+kernel below keeps everything in VMEM.
+
+Layout: q [B, Sq, H, D], k/v [B, Sk, H, D] -> out [B, Sq, H, D]
+(same contract as ops.attention.dot_product_attention). Softmax statistics
+and the accumulator are fp32 regardless of input dtype.
+
+Grid: (B*H, Sq/bq, Sk/bk); the k dimension is the innermost (sequential on
+TPU), carrying (m, l, acc) in VMEM scratch across iterations — the canonical
+flash-attention recurrence. Ragged Sk is handled with an in-kernel column
+mask on the last k block; ragged Sq by padding (padded rows are sliced off;
+their l=0 division yields NaNs that never escape the slice).
+
+Backward: custom_vjp that recomputes attention with the XLA einsum path —
+fine at training shapes (32-frame 720p training uses chunked windows); a
+Pallas backward kernel is future work.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_BQ = 256
+DEFAULT_BK = 512
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
+                  scale: float, kv_len: int, bk: int):
+    j = pl.program_id(2)
+    n_k = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, -jnp.inf)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0]                                   # [bq, d]
+    k = k_ref[0]                                   # [bk, d]
+    v = v_ref[0]                                   # [bk, d]
+
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+
+    if kv_len % bk != 0:
+        # mask padded key columns (only the final block can overrun)
+        cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * bk
+        s = jnp.where(cols < kv_len, s, -jnp.inf)
+
+    m_prev = m_scr[:, :1]                          # [bq, 1]
+    l_prev = l_scr[:, :1]
+    m_cur = jnp.max(s, axis=1, keepdims=True)      # [bq, 1]
+    m_new = jnp.maximum(m_prev, m_cur)
+    # exp(-inf - -inf) guards: rows with no valid cols stay fully masked
+    p = jnp.exp(s - m_new)                         # [bq, bk] fp32
+    alpha = jnp.exp(m_prev - m_new)                # [bq, 1]
+    l_new = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
+
+    acc = acc_scr[:] * alpha
+    acc = acc + jax.lax.dot_general(p.astype(v.dtype), v,
+                                    (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+    acc_scr[:] = acc
+    m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+    l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
+
+    @pl.when(j == n_k - 1)
+    def _finalize():
+        o_ref[0] = (acc_scr[:] / l_scr[:, :1]).astype(o_ref.dtype)
+
+
+def _flash_fwd(q3: jax.Array, k3: jax.Array, v3: jax.Array, scale: float,
+               bq: int, bk: int, interpret: bool) -> jax.Array:
+    """q3/k3/v3: [BH, S, D]."""
+    bh, sq, d = q3.shape
+    skv = k3.shape[1]
+    sq_pad = -(-sq // bq) * bq
+    skv_pad = -(-skv // bk) * bk
+    if sq_pad != sq:
+        q3 = jnp.pad(q3, ((0, 0), (0, sq_pad - sq), (0, 0)))
+    if skv_pad != skv:
+        k3 = jnp.pad(k3, ((0, 0), (0, skv_pad - skv), (0, 0)))
+        v3 = jnp.pad(v3, ((0, 0), (0, skv_pad - skv), (0, 0)))
+
+    grid = (bh, sq_pad // bq, skv_pad // bk)
+    kernel = functools.partial(_flash_kernel, scale=scale, kv_len=skv, bk=bk)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, bk, d), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, bk, d), lambda b, i, j: (b, j, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, bq, d), lambda b, i, j: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, sq_pad, d), q3.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bq, 128), jnp.float32),   # m
+            pltpu.VMEM((bq, 128), jnp.float32),   # l
+            pltpu.VMEM((bq, d), jnp.float32),     # acc
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('parallel', 'parallel', 'arbitrary')),
+        interpret=interpret,
+    )(q3, k3, v3)
+    return out[:, :sq]
+
+
+def _xla_reference(q: jax.Array, k: jax.Array, v: jax.Array,
+                   scale: float) -> jax.Array:
+    logits = jnp.einsum('bqhd,bkhd->bhqk', q, k,
+                        preferred_element_type=jnp.float32) * scale
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    return jnp.einsum('bhqk,bkhd->bqhd', probs.astype(q.dtype), v,
+                      preferred_element_type=jnp.float32).astype(q.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                    scale: float | None = None, bq: int = DEFAULT_BQ,
+                    bk: int = DEFAULT_BK, interpret: bool = False) -> jax.Array:
+    """q [B,Sq,H,D], k/v [B,Sk,H,D] -> [B,Sq,H,D]."""
+    b, sq, h, d = q.shape
+    skv = k.shape[1]
+    scale = (1.0 / math.sqrt(d)) if scale is None else scale
+    rup = lambda x, m: -(-x // m) * m
+    bq_eff = min(bq, rup(sq, 16))        # sublane-aligned block sizes
+    bk_eff = min(bk, rup(skv, 128))
+    # fold heads into the grid batch dim
+    to3 = lambda t: t.transpose(0, 2, 1, 3).reshape(b * h, t.shape[1], d)
+    out3 = _flash_fwd(to3(q), to3(k), to3(v), scale, bq_eff, bk_eff, interpret)
+    return out3.reshape(b, h, sq, d).transpose(0, 2, 1, 3)
+
+
+def _fwd(q, k, v, scale, bq, bk, interpret):
+    return flash_attention(q, k, v, scale, bq, bk, interpret), (q, k, v)
+
+
+def _bwd(scale, bq, bk, interpret, res, g):
+    q, k, v = res
+    d = q.shape[-1]
+    s = (1.0 / math.sqrt(d)) if scale is None else scale
+    _, vjp = jax.vjp(lambda q_, k_, v_: _xla_reference(q_, k_, v_, s), q, k, v)
+    return vjp(g)
+
+
+flash_attention.defvjp(_fwd, _bwd)

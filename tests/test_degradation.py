@@ -1,0 +1,92 @@
+"""Degradation engine tests (kernels, jpeg, noise, end-to-end)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from star_tpu.data.degradation import (add_gaussian_noise, add_poisson_noise,
+                                       bivariate_gaussian,
+                                       circular_lowpass_kernel, degrade_video,
+                                       filter2d, jpeg_compress,
+                                       sample_degradation_params, usm_sharpen)
+
+
+def test_kernels_normalized():
+    k = bivariate_gaussian(21, 1.5, 1.5, 0.3, True)
+    assert k.shape == (21, 21) and k.sum() == pytest.approx(1.0)
+    ka = bivariate_gaussian(21, 2.5, 0.5, 0.7, False)
+    assert ka.sum() == pytest.approx(1.0)
+    assert not np.allclose(ka, ka.T)  # anisotropic
+    ks = circular_lowpass_kernel(np.pi / 2, 13, pad_to=21)
+    assert ks.shape == (21, 21) and ks.sum() == pytest.approx(1.0)
+
+
+def test_filter2d_identity_with_pulse():
+    x = jnp.asarray(np.random.RandomState(0).uniform(0, 1, (2, 16, 16, 3))
+                    .astype(np.float32))
+    pulse = np.zeros((21, 21), np.float32)
+    pulse[10, 10] = 1.0
+    out = filter2d(x, jnp.asarray(pulse))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=1e-6)
+
+
+def test_gaussian_blur_smooths():
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.uniform(0, 1, (1, 32, 32, 3)).astype(np.float32))
+    k = jnp.asarray(bivariate_gaussian(21, 3.0, 3.0, 0.0).astype(np.float32))
+    out = filter2d(x, k)
+    assert float(jnp.std(out)) < float(jnp.std(x))
+
+
+def test_jpeg_quality_monotone():
+    # smooth natural-ish content (gradients + a low-freq pattern): the
+    # rounding error must grow as quality drops
+    yy, xx = np.mgrid[0:32, 0:32] / 32.0
+    img = np.stack([yy, xx, np.sin(4 * yy) * np.cos(3 * xx) * 0.5 + 0.5], -1)
+    x = jnp.asarray(img[None].astype(np.float32))
+    errs = [float(jnp.abs(jpeg_compress(x, q) - x).mean())
+            for q in (95.0, 60.0, 30.0)]
+    assert errs[0] < errs[1] < errs[2], errs
+
+
+def test_noise_ops():
+    x = jnp.full((2, 16, 16, 3), 0.5, jnp.float32)
+    g = add_gaussian_noise(x, jax.random.PRNGKey(0), 20.0, gray=False)
+    assert float(jnp.std(g)) > 0.01
+    gg = add_gaussian_noise(x, jax.random.PRNGKey(0), 20.0, gray=True)
+    # gray noise: identical across channels
+    np.testing.assert_allclose(np.asarray(gg[..., 0]), np.asarray(gg[..., 1]))
+    p = add_poisson_noise(x, jax.random.PRNGKey(1), 1.0, gray=False)
+    assert float(jnp.std(p)) > 0.001
+
+
+def test_usm_sharpen_increases_local_contrast():
+    rng = np.random.RandomState(3)
+    base = rng.uniform(0.2, 0.8, (1, 32, 32, 3)).astype(np.float32)
+    x = jnp.asarray(base)
+    out = usm_sharpen(x)
+    assert out.shape == x.shape
+    assert float(jnp.std(out)) >= float(jnp.std(x)) * 0.99
+
+
+def test_params_sampling_deterministic():
+    a = sample_degradation_params(42)
+    b = sample_degradation_params(42)
+    np.testing.assert_allclose(a.stage1.kernel, b.stage1.kernel)
+    assert a.stage1.jpeg_quality == b.stage1.jpeg_quality
+    c = sample_degradation_params(43)
+    assert not np.allclose(a.stage1.kernel, c.stage1.kernel) or \
+        a.stage1.jpeg_quality != c.stage1.jpeg_quality
+
+
+def test_degrade_video_end_to_end():
+    gt = np.random.RandomState(4).uniform(0, 1, (2, 64, 64, 3)) \
+        .astype(np.float32)
+    lq, gt_usm = degrade_video(gt, scale=4, seed=7, use_codec=False)
+    assert lq.shape == (2, 16, 16, 3)
+    assert gt_usm.shape == gt.shape
+    assert 0.0 <= lq.min() and lq.max() <= 1.0
+    # degraded-then-upsampled differs from a clean downsample
+    assert np.abs(lq - np.asarray(jax.image.resize(
+        jnp.asarray(gt), (2, 16, 16, 3), 'linear'))).mean() > 0.005

@@ -1,0 +1,120 @@
+"""Trainer tests: trainable-set filter, loss semantics, a real train step,
+and checkpoint/resume."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import linen as nn
+
+from star_tpu.diffusion import DiffusionTables, default_star_schedule
+from star_tpu.models.unet.unet import VideoUNetTrunk
+from star_tpu.train import (TrainConfig, fourier_split, is_trainable,
+                            make_train_state, make_train_step, star_sr_loss,
+                            trainable_mask)
+
+
+class TinyControlled(nn.Module):
+    def setup(self):
+        kw = dict(dim=32, dim_mult=(1, 2), head_dim=16,
+                  num_heads_init_temporal=2, context_dim=32,
+                  attn_scales=(1.0, 0.5))
+        self.unet = VideoUNetTrunk(name='unet', **kw)
+        self.controlnet = VideoUNetTrunk(name='controlnet', is_controlnet=True,
+                                         **kw)
+
+    def __call__(self, x, t, y, hint):
+        return self.unet(x, t, y,
+                         controls=self.controlnet(x, t, y, hint=hint))
+
+
+@pytest.fixture(scope='module')
+def setup():
+    m = TinyControlled()
+    b, f, h, w = 2, 2, 10, 8
+    x = jnp.zeros((b, f, h, w, 4))
+    t = jnp.zeros((b,), jnp.int32)
+    y = jnp.zeros((b, 7, 32))
+    params = m.init(jax.random.PRNGKey(0), x, t, y, x)
+    # zero-init head/zero-convs would block all gradients at init (real runs
+    # start from converted non-zero weights) — perturb them for the test
+    params = jax.tree_util.tree_map_with_path(
+        lambda p, v: v + 0.01 if any(s in '/'.join(map(str, p)) for s in
+                                     ('head_conv', 'zero_conv', 'middle_out',
+                                      'out_conv')) else v, params)
+    return m, params, (b, f, h, w)
+
+
+def test_trainable_filter():
+    assert is_trainable('controlnet/enc_0_0_res/in_conv/kernel')
+    assert is_trainable('unet/enc_0_0_spatial/block/local1/conv/kernel')
+    assert is_trainable('unet/enc_0_0_temporal/block/local2/proj/kernel')
+    assert not is_trainable('unet/enc_0_0_res/in_conv/kernel')
+    assert not is_trainable('unet/head_conv/kernel')
+
+
+def test_frozen_params_stay_frozen(setup):
+    m, params, (b, f, h, w) = setup
+    cfg = TrainConfig(freq_loss=False)
+    state, tx = make_train_state(cfg, params)
+    tables = DiffusionTables.from_schedule(default_star_schedule())
+    step = make_train_step(
+        cfg, lambda p, x, t, y, hint: m.apply(p, x, t, y, hint), tables, tx)
+    batch = {
+        'gt_latent': jax.random.normal(jax.random.PRNGKey(1), (b, f, h, w, 4)),
+        'lq_latent': jax.random.normal(jax.random.PRNGKey(2), (b, f, h, w, 4)),
+        'y': jax.random.normal(jax.random.PRNGKey(3), (b, 7, 32)),
+    }
+    new_state, metrics = jax.jit(step)(state, batch, jax.random.PRNGKey(4))
+    assert np.isfinite(float(metrics['total_loss']))
+
+    mask = trainable_mask(params)
+    flat_old = jax.tree_util.tree_leaves_with_path(state.params)
+    flat_new = dict(jax.tree_util.tree_leaves_with_path(new_state.params))
+    flat_mask = dict(jax.tree_util.tree_leaves_with_path(mask))
+    changed = frozen_changed = 0
+    for path, old in flat_old:
+        new = flat_new[path]
+        if flat_mask[path]:
+            changed += int(not np.allclose(np.asarray(old), np.asarray(new)))
+        else:
+            frozen_changed += int(not np.array_equal(np.asarray(old),
+                                                     np.asarray(new)))
+    assert frozen_changed == 0
+    assert changed > 0
+
+
+def test_loss_weighting_semantics():
+    v = jnp.ones((1, 4))
+    target = jnp.zeros((1, 4))
+    loss, metrics = star_sr_loss(v, target, jnp.array([0]))
+    assert float(loss) == pytest.approx(1.0)
+    # with pixels: freq term adds, scaled by (1 - t/999)
+    pix = jax.random.normal(jax.random.PRNGKey(0), (1, 2, 16, 16, 3))
+    gt = jax.random.normal(jax.random.PRNGKey(1), (1, 2, 16, 16, 3))
+    loss_t0, m0 = star_sr_loss(v, target, jnp.array([0]), pix, gt)
+    loss_t999, m999 = star_sr_loss(v, target, jnp.array([999]), pix, gt)
+    # at t=999, weight_t = 0 -> pure v loss
+    assert float(loss_t999) == pytest.approx(float(m999['loss_v']), rel=1e-5)
+    assert float(loss_t0) > float(m0['loss_v'])
+
+
+def test_fourier_split_partitions_spectrum():
+    x = jax.random.normal(jax.random.PRNGKey(5), (2, 16, 16, 3))
+    low, high = fourier_split(x)
+    fft = jnp.fft.rfft2(x, axes=(-3, -2))
+    recon = (low[..., 0] + 1j * low[..., 1]) + (high[..., 0] + 1j * high[..., 1])
+    np.testing.assert_allclose(np.asarray(recon), np.asarray(fft), atol=1e-4)
+
+
+def test_checkpoint_save_restore(tmp_path, setup):
+    m, params, _ = setup
+    from star_tpu.convert import load_params, save_params
+    path = str(tmp_path / 'ckpt')
+    save_params(path, params)
+    restored = load_params(path)
+    for (p1, a), (p2, b) in zip(
+            jax.tree_util.tree_leaves_with_path(params),
+            jax.tree_util.tree_leaves_with_path(restored)):
+        assert p1 == p2
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
