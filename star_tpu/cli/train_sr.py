@@ -1,0 +1,149 @@
+"""ControlNet+LIEM fine-tuning driver.
+
+Behavioral reference: video_super_resolution/scripts/train_sr.py +
+train_sr.sh (8xGPU DDP, bs 1/device, lr 5e-5, 15k steps, ckpt every 500,
+tensorboard scalars loss_v/loss_low/loss_high/lr) — rebuilt as one jitted
+sharded train step over the mesh 'data' axis.
+
+Improvements over the reference (documented):
+  * --resume actually works (the reference parses --resume_from_checkpoint
+    but never consumes it, train_sr.py:122-130);
+  * frozen params carry no optimizer state;
+  * metrics go to a JSONL file (host-light observability) per process 0.
+
+    python -m star_tpu.cli.train_sr --data_root paired/ --output_dir runs/x \
+        --max_train_steps 15000 --checkpointing_steps 500
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from argparse import ArgumentParser
+
+
+def parse_args():
+    p = ArgumentParser()
+    p.add_argument('--data_root', required=True,
+                   help='dir with gt/ lq/ text/ triplets')
+    p.add_argument('--output_dir', required=True)
+    p.add_argument('--pretrained', default=None,
+                   help='converted UNet weights (orbax) to start from')
+    p.add_argument('--vae_weights', default=None)
+    p.add_argument('--clip_weights', default=None)
+    p.add_argument('--learning_rate', type=float, default=5e-5)
+    p.add_argument('--max_grad_norm', type=float, default=1.0)
+    p.add_argument('--max_train_steps', type=int, default=15000)
+    p.add_argument('--checkpointing_steps', type=int, default=500)
+    p.add_argument('--num_frames', type=int, default=32)
+    p.add_argument('--batch_size', type=int, default=1)
+    p.add_argument('--seed', type=int, default=666)
+    p.add_argument('--resume', action='store_true')
+    p.add_argument('--freq_loss', action='store_true', default=True)
+    p.add_argument('--allow_random_weights', action='store_true')
+    p.add_argument('--data_parallel', type=int, default=1)
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import orbax.checkpoint as ocp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..data.dataset import PairedCaptionVideoDataset
+    from ..diffusion import DiffusionTables, default_star_schedule
+    from ..parallel import AXIS_DATA, make_mesh, shard_params
+    from ..pipeline.build import init_random_models, make_bundle
+    from ..train import TrainConfig, TrainState, make_train_state, \
+        make_train_step
+    from ..utils.logger import get_logger
+    from ..utils.seed import setup_seed
+
+    logger = get_logger()
+    key = setup_seed(args.seed)
+    os.makedirs(args.output_dir, exist_ok=True)
+
+    # ---- models -------------------------------------------------------------
+    if args.pretrained and os.path.exists(args.pretrained):
+        from ..convert.load import load_star_models
+        models = load_star_models(args.pretrained, dtype=jnp.bfloat16)
+    elif args.allow_random_weights:
+        logger.warning('training from RANDOM weights (smoke run)')
+        models = init_random_models(jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    else:
+        raise FileNotFoundError('--pretrained not found; pass '
+                                '--allow_random_weights for a smoke run')
+    bundle = make_bundle(models)
+
+    mesh = make_mesh(data=args.data_parallel)
+    cfg = TrainConfig(learning_rate=args.learning_rate,
+                      max_grad_norm=args.max_grad_norm,
+                      freq_loss=args.freq_loss)
+    with mesh:
+        params = shard_params(models.unet_params, mesh)
+        state, tx = make_train_state(cfg, params)
+        tables = DiffusionTables.from_schedule(default_star_schedule())
+        step_fn = jax.jit(make_train_step(
+            cfg,
+            lambda p, x, t, y, hint: models.unet.apply(p, x, t, y, hint,
+                                                       deterministic=True),
+            tables, tx,
+            vae_decode=bundle.vae_decode if args.freq_loss else None))
+
+        ckpt_dir = os.path.abspath(os.path.join(args.output_dir, 'ckpt'))
+        mngr = ocp.CheckpointManager(ckpt_dir, options=ocp.CheckpointManagerOptions(
+            max_to_keep=3, save_interval_steps=args.checkpointing_steps))
+        start_step = 0
+        if args.resume and mngr.latest_step() is not None:
+            start_step = mngr.latest_step()
+            restored = mngr.restore(start_step, args=ocp.args.StandardRestore(
+                state))
+            state = restored
+            logger.info('resumed from step %d', start_step)
+
+        ds = PairedCaptionVideoDataset(args.data_root, args.num_frames,
+                                       seed=args.seed)
+        batch_sh = NamedSharding(mesh, P(AXIS_DATA))
+        metrics_path = os.path.join(args.output_dir, 'metrics.jsonl')
+
+        it = iter(ds)
+        t_last = time.time()
+        for step in range(start_step, args.max_train_steps):
+            try:
+                sample = next(it)
+            except StopIteration:
+                it = iter(ds)
+                sample = next(it)
+            gt = jnp.asarray(sample['gt'])[None]
+            lq = jnp.asarray(sample['lq'])[None]
+            k_enc, k_step, key = jax.random.split(key, 3)
+            gt_lat = bundle.vae_encode(gt, k_enc)
+            lq_lat = bundle.vae_encode(lq, None)
+            tokens = jnp.asarray(bundle.tokenizer([sample['text']]))
+            y = bundle.text_encode(tokens)
+            batch = {'gt_latent': jax.device_put(gt_lat, batch_sh),
+                     'lq_latent': jax.device_put(lq_lat, batch_sh),
+                     'y': jax.device_put(y, batch_sh)}
+            if args.freq_loss:
+                batch['gt_pixels'] = jax.device_put(gt, batch_sh)
+            state, metrics = step_fn(state, batch, k_step)
+            mngr.save(step + 1, args=ocp.args.StandardSave(state))
+            if jax.process_index() == 0:
+                row = {k: float(v) for k, v in metrics.items()}
+                row.update(step=step + 1, lr=args.learning_rate,
+                           sec_per_step=time.time() - t_last)
+                t_last = time.time()
+                with open(metrics_path, 'a') as f:
+                    f.write(json.dumps(row) + '\n')
+                if (step + 1) % 10 == 0:
+                    logger.info('step %d loss %.4f', step + 1,
+                                row['total_loss'])
+        mngr.wait_until_finished()
+
+
+if __name__ == '__main__':
+    main()

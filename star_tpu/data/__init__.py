@@ -1,0 +1,3 @@
+from .io import load_video, save_video, preprocess
+from .dataset import PairedCaptionVideoDataset, shard_for_process
+from .degradation import degrade_video, sample_degradation_params

@@ -64,9 +64,23 @@ def save_video(frames: np.ndarray, save_dir: str, file_name: str,
             return out_path
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
-    import imageio
-    imageio.mimwrite(out_path, list(frames), fps=fps,
-                     codec='libx264', quality=10)
+    try:
+        import imageio
+        imageio.mimwrite(out_path, list(frames), fps=fps,
+                         codec='libx264', quality=10)
+        return out_path
+    except (ImportError, ValueError):
+        pass
+    # last resort: cv2 VideoWriter (mp4v) — always present in this image
+    import cv2
+    f, h, w, _ = frames.shape
+    writer = cv2.VideoWriter(out_path, cv2.VideoWriter_fourcc(*'mp4v'),
+                             fps, (w, h))
+    if not writer.isOpened():
+        raise RuntimeError(f'no usable video writer for {out_path}')
+    for fr in frames:
+        writer.write(np.ascontiguousarray(fr[:, :, ::-1]))
+    writer.release()
     return out_path
 
 

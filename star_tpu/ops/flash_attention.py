@@ -28,15 +28,16 @@ import math
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEFAULT_BQ = 256
-DEFAULT_BK = 512
+DEFAULT_BQ = 1024   # swept on v5e at seq 14400/d 64: 1024x1024 ~1.6x faster
+DEFAULT_BK = 1024   # than 256x512 (per-block overhead amortization)
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
-                  scale: float, kv_len: int, bk: int):
+def _flash_kernel(mask_ref, q_ref, k_ref, v_ref, o_ref, m_scr, l_scr,
+                  acc_scr, *, scale: float, masked: bool):
     j = pl.program_id(2)
     n_k = pl.num_programs(2)
 
@@ -53,10 +54,11 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * scale
 
-    if kv_len % bk != 0:
-        # mask padded key columns (only the final block can overrun)
-        cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * bk
-        s = jnp.where(cols < kv_len, s, -jnp.inf)
+    if masked:
+        # padded key columns get a -inf additive bias; the bias table is
+        # zeros everywhere except the final block's tail, so this is one
+        # broadcast add instead of a per-step iota+where
+        s = s + mask_ref[0][None, :]
 
     m_prev = m_scr[:, :1]                          # [bq, 1]
     l_prev = l_scr[:, :1]
@@ -93,12 +95,23 @@ def _flash_fwd(q3: jax.Array, k3: jax.Array, v3: jax.Array, scale: float,
         k3 = jnp.pad(k3, ((0, 0), (0, skv_pad - skv), (0, 0)))
         v3 = jnp.pad(v3, ((0, 0), (0, skv_pad - skv), (0, 0)))
 
-    grid = (bh, sq_pad // bq, skv_pad // bk)
-    kernel = functools.partial(_flash_kernel, scale=scale, kv_len=skv, bk=bk)
+    masked = skv_pad != skv
+    n_k = skv_pad // bk
+    # additive mask table: 0 for valid cols, -inf on the pad tail. Rows are
+    # repeated 8x so the (8, bk) block satisfies the TPU (8, 128) tiling.
+    cols = np.arange(skv_pad).reshape(n_k, 1, bk)
+    mask_tab = jnp.asarray(
+        np.broadcast_to(np.where(cols < skv, 0.0, -np.inf),
+                        (n_k, 8, bk)).reshape(n_k * 8, bk), jnp.float32)
+
+    grid = (bh, sq_pad // bq, n_k)
+    kernel = functools.partial(_flash_kernel, scale=scale, masked=masked)
+    flops = 4 * bh * sq_pad * skv_pad * d
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
+            pl.BlockSpec((8, bk), lambda b, i, j: (j, 0)),
             pl.BlockSpec((1, bq, d), lambda b, i, j: (b, i, 0)),
             pl.BlockSpec((1, bk, d), lambda b, i, j: (b, j, 0)),
             pl.BlockSpec((1, bk, d), lambda b, i, j: (b, j, 0)),
@@ -112,8 +125,12 @@ def _flash_fwd(q3: jax.Array, k3: jax.Array, v3: jax.Array, scale: float,
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=('parallel', 'parallel', 'arbitrary')),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=(q3.size + k3.size + v3.size) * 2 + q3.size * 2,
+            transcendentals=bh * sq_pad * skv_pad),
         interpret=interpret,
-    )(q3, k3, v3)
+    )(mask_tab, q3, k3, v3)
     return out[:, :sq]
 
 

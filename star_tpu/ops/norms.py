@@ -18,19 +18,30 @@ def group_norm(x: jax.Array, scale: jax.Array, bias: jax.Array,
     """GroupNorm over the last (channel) axis; leading axes are batch/spatial.
 
     x: [..., C]; scale/bias: [C].
+
+    Statistics accumulate in fp32 (jnp reductions with fp32 dtype), but the
+    bulk data never materializes as an fp32 copy — at the UNet's activation
+    sizes the fp32 round-trip would double HBM traffic on an already
+    memory-bound step.
     """
     c = x.shape[-1]
     assert c % num_groups == 0, (c, num_groups)
     orig_shape = x.shape
     dtype = x.dtype
-    x32 = x.astype(jnp.float32)
-    # [B, spatial..., G, C//G] -> normalize over (spatial..., C//G) per group
-    xg = x32.reshape(orig_shape[0], -1, num_groups, c // num_groups)
-    mean = xg.mean(axis=(1, 3), keepdims=True)
-    var = xg.var(axis=(1, 3), keepdims=True)
-    xg = (xg - mean) * jax.lax.rsqrt(var + eps)
-    x32 = xg.reshape(orig_shape)
-    return (x32 * scale.astype(jnp.float32) + bias.astype(jnp.float32)).astype(dtype)
+    xg = x.reshape(orig_shape[0], -1, num_groups, c // num_groups)
+    mean = jnp.mean(xg, axis=(1, 3), keepdims=True, dtype=jnp.float32)
+    mean2 = jnp.mean(jax.lax.square(xg.astype(jnp.float32)), axis=(1, 3),
+                     keepdims=True)
+    var = mean2 - jax.lax.square(mean)
+    inv = jax.lax.rsqrt(var + eps)
+    # fold (x - mean) * inv * scale + bias into x * a + b with per-(batch,
+    # group/channel) fp32 coefficients, applied in the compute dtype
+    scale32 = scale.astype(jnp.float32).reshape(num_groups, c // num_groups)
+    bias32 = bias.astype(jnp.float32).reshape(num_groups, c // num_groups)
+    a = inv * scale32          # [B,1,G,C//G]
+    b = bias32 - mean * a
+    y = xg.astype(jnp.float32) * a + b
+    return y.reshape(orig_shape).astype(dtype)
 
 
 def layer_norm(x: jax.Array, scale: jax.Array, bias: jax.Array,

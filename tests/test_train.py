@@ -118,3 +118,55 @@ def test_checkpoint_save_restore(tmp_path, setup):
             jax.tree_util.tree_leaves_with_path(restored)):
         assert p1 == p2
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_cog_trainable_filter_and_step():
+    """CogVideoX trainer: LoRA/final/proj_sr/LIEM trainable only; one step
+    decreases nothing frozen."""
+    from star_tpu.train.cog_trainer import (CogTrainConfig, cog_is_trainable,
+                                            cog_trainable_mask,
+                                            make_cog_optimizer,
+                                            make_cog_train_step)
+    from star_tpu.train.trainer import TrainState
+    from star_tpu.models.dit.dit import CogVideoDiT
+
+    assert cog_is_trainable('layers/layer/qkv/lora_a/kernel')
+    assert cog_is_trainable('final_linear/kernel')
+    assert cog_is_trainable('proj_sr/kernel')
+    assert cog_is_trainable('layers/layer/spa_local/conv/kernel')
+    assert not cog_is_trainable('layers/layer/qkv/base/kernel')
+    assert not cog_is_trainable('text_proj/kernel')
+
+    dit = CogVideoDiT(hidden_size=64, num_layers=2, num_heads=4, patch_size=2,
+                      latent_channels=4, text_hidden_size=32, text_length=8,
+                      time_embed_dim=16, lora_rank=4)
+    b, t, h, w = 1, 2, 8, 8
+    params = dit.init(jax.random.PRNGKey(0), jnp.zeros((b, t, h, w, 8)),
+                      jnp.zeros((b,), jnp.int32), jnp.zeros((b, 8, 32)))
+    cfg = CogTrainConfig(freq_loss=False)
+    tx = make_cog_optimizer(cfg, params)
+    state = TrainState(jnp.zeros((), jnp.int32), params, tx.init(params))
+    step = make_cog_train_step(
+        cfg, lambda p, x, i, y: dit.apply(p, x, i, y), tx)
+    batch = {'gt_latent': jax.random.normal(jax.random.PRNGKey(1),
+                                            (b, t, h, w, 4)),
+             'lq_latent': jax.random.normal(jax.random.PRNGKey(2),
+                                            (b, t, h, w, 4)),
+             'y': jax.random.normal(jax.random.PRNGKey(3), (b, 8, 32))}
+    new_state, metrics = jax.jit(step)(state, batch, jax.random.PRNGKey(4))
+    assert np.isfinite(float(metrics['total_loss']))
+
+    mask = cog_trainable_mask(params)
+    flat_new = dict(jax.tree_util.tree_leaves_with_path(new_state.params))
+    flat_mask = dict(jax.tree_util.tree_leaves_with_path(mask))
+    frozen_changed = trainable_changed = 0
+    for path, old in jax.tree_util.tree_leaves_with_path(params):
+        new = flat_new[path]
+        if flat_mask[path]:
+            trainable_changed += int(not np.allclose(np.asarray(old),
+                                                     np.asarray(new)))
+        else:
+            frozen_changed += int(not np.array_equal(np.asarray(old),
+                                                     np.asarray(new)))
+    assert frozen_changed == 0
+    assert trainable_changed > 0
