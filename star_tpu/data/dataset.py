@@ -60,6 +60,48 @@ class PairedCaptionVideoDataset:
             yield self[i]
 
 
+class CogPairedCaptionDataset(PairedCaptionVideoDataset):
+    """CogVideoX variant (data_video.py:458-527): videos wider than 720 are
+    resized by 2/3 and center-cropped to 480x720; LQ narrower than 720 is
+    bicubic-upsampled x4; frames truncated to num_frames (4k+1)."""
+
+    def __init__(self, root: str, num_frames: int = 25,
+                 null_text_ratio: float = 0.5, seed: int = 0):
+        super().__init__(root, num_frames, null_text_ratio, seed)
+
+    @staticmethod
+    def _fit(frames: np.ndarray, is_lq: bool) -> np.ndarray:
+        import cv2
+        f, h, w, _ = frames.shape
+        if w > 720:
+            nh, nw = int(h * 2 / 3), int(w * 2 / 3)
+            frames = np.stack([cv2.resize(fr, (nw, nh),
+                                          interpolation=cv2.INTER_LINEAR)
+                               for fr in frames])
+            top = (nh - 480) // 2
+            left = (nw - 720) // 2
+            frames = frames[:, top:top + 480, left:left + 720]
+        elif is_lq and w < 720:
+            frames = np.stack([cv2.resize(fr, (w * 4, h * 4),
+                                          interpolation=cv2.INTER_CUBIC)
+                               for fr in frames])
+        return frames
+
+    def __getitem__(self, idx: int) -> dict:
+        name = self.names[idx]
+        gt, fps = load_video(os.path.join(self.root, 'gt', name + '.mp4'))
+        lq, _ = load_video(os.path.join(self.root, 'lq', name + '.mp4'))
+        gt = self._fit(gt, False)[:self.num_frames]
+        lq = self._fit(lq, True)[:self.num_frames]
+        if self.rng.random() < self.null_text_ratio:
+            text = ''
+        else:
+            with open(os.path.join(self.root, 'text', name + '.txt')) as f:
+                text = f.read().strip()
+        to11 = lambda x: (x.astype(np.float32) / 255.0) * 2.0 - 1.0
+        return {'gt': to11(gt), 'lq': to11(lq), 'text': text, 'fps': fps}
+
+
 def shard_for_process(items: List, process_index: int,
                       process_count: int) -> List:
     """Rank-strided work split (the reference's prompt-list DP sharding,

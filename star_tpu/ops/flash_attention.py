@@ -51,8 +51,11 @@ def _flash_kernel(mask_ref, q_ref, k_ref, v_ref, o_ref, m_scr, l_scr,
     k = k_ref[0]                                   # [bk, d]
     v = v_ref[0]                                   # [bk, d]
 
+    # q is pre-scaled by scale*log2(e): logits live in log2 space so the
+    # online softmax uses exp2 (the VPU transcendental) without the extra
+    # multiply per element — exp is the kernel's bottleneck at d=64
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32) * scale
+                            preferred_element_type=jnp.float32)
 
     if masked:
         # padded key columns get a -inf additive bias; the bias table is
@@ -65,8 +68,8 @@ def _flash_kernel(mask_ref, q_ref, k_ref, v_ref, o_ref, m_scr, l_scr,
     m_cur = jnp.max(s, axis=1, keepdims=True)      # [bq, 1]
     m_new = jnp.maximum(m_prev, m_cur)
     # exp(-inf - -inf) guards: rows with no valid cols stay fully masked
-    p = jnp.exp(s - m_new)                         # [bq, bk] fp32
-    alpha = jnp.exp(m_prev - m_new)                # [bq, 1]
+    p = jnp.exp2(s - m_new)                        # [bq, bk] fp32
+    alpha = jnp.exp2(m_prev - m_new)               # [bq, 1]
     l_new = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
 
     acc = acc_scr[:] * alpha
@@ -87,6 +90,10 @@ def _flash_fwd(q3: jax.Array, k3: jax.Array, v3: jax.Array, scale: float,
     """q3/k3/v3: [BH, S, D]."""
     bh, sq, d = q3.shape
     skv = k3.shape[1]
+    # fold scale * log2(e) into q once: the kernel's softmax runs in log2
+    # space (exp2); fp32 scale on bf16 data rounds once, like the
+    # reference's in-attention multiply
+    q3 = (q3.astype(jnp.float32) * (scale * 1.4426950408889634)).astype(q3.dtype)
     sq_pad = -(-sq // bq) * bq
     skv_pad = -(-skv // bk) * bk
     if sq_pad != sq:

@@ -1,0 +1,59 @@
+"""Dataset tests against real mp4 triplets written with the cv2 fallback."""
+
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope='module')
+def triplet_root(tmp_path_factory):
+    from star_tpu.data.io import save_video
+    root = tmp_path_factory.mktemp('paired')
+    rng = np.random.RandomState(0)
+    for sub in ('gt', 'lq', 'text'):
+        os.makedirs(root / sub, exist_ok=True)
+    for name in ('a', 'b'):
+        frames = rng.randint(0, 255, (6, 32, 48, 3), dtype=np.uint8)
+        save_video(frames, str(root / 'gt'), name + '.mp4', fps=8)
+        save_video(frames // 2, str(root / 'lq'), name + '.mp4', fps=8)
+        (root / 'text' / (name + '.txt')).write_text(f'clip {name}')
+    return str(root)
+
+
+def test_paired_dataset(triplet_root):
+    from star_tpu.data.dataset import PairedCaptionVideoDataset
+    ds = PairedCaptionVideoDataset(triplet_root, num_frames=4,
+                                   null_text_ratio=0.0)
+    assert len(ds) == 2
+    item = ds[0]
+    assert item['gt'].shape == (4, 32, 48, 3)
+    assert item['lq'].shape == (4, 32, 48, 3)
+    assert -1.0 <= item['gt'].min() and item['gt'].max() <= 1.0
+    assert item['text'] == 'clip a'
+
+
+def test_null_text_dropout(triplet_root):
+    from star_tpu.data.dataset import PairedCaptionVideoDataset
+    ds = PairedCaptionVideoDataset(triplet_root, num_frames=2,
+                                   null_text_ratio=1.0)
+    assert ds[0]['text'] == ''
+
+
+def test_cog_dataset_upsample_rule(triplet_root):
+    """LQ narrower than 720 gets bicubic x4 (data_video.py:503-505)."""
+    from star_tpu.data.dataset import CogPairedCaptionDataset
+    ds = CogPairedCaptionDataset(triplet_root, num_frames=5,
+                                 null_text_ratio=0.0)
+    item = ds[0]
+    assert item['gt'].shape == (5, 32, 48, 3)       # gt untouched (<720)
+    assert item['lq'].shape == (5, 128, 192, 3)     # lq x4
+
+
+def test_shard_for_process():
+    from star_tpu.data.dataset import shard_for_process
+    items = list(range(10))
+    a = shard_for_process(items, 0, 3)
+    b = shard_for_process(items, 1, 3)
+    c = shard_for_process(items, 2, 3)
+    assert sorted(a + b + c) == items
