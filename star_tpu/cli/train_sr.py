@@ -86,6 +86,11 @@ def main():
     with mesh:
         params = shard_params(models.unet_params, mesh)
         state, tx = make_train_state(cfg, params)
+        if args.data_parallel > 1:
+            # ZeRO-1: shard AdamW moments over the data axis
+            from ..parallel.zero import shard_opt_state
+            state = state._replace(
+                opt_state=shard_opt_state(state.opt_state, mesh))
         tables = DiffusionTables.from_schedule(default_star_schedule())
         step_fn = jax.jit(make_train_step(
             cfg,
