@@ -88,3 +88,26 @@ def preprocess(frames: np.ndarray) -> np.ndarray:
     """uint8 [F,H,W,3] -> float32 [-1,1] (inference_utils.py:26-39)."""
     x = frames.astype(np.float32) / 255.0
     return (x - 0.5) / 0.5
+
+
+def load_video_with_timeout(path: str, timeout: float = 20.0
+                            ) -> Tuple[np.ndarray, float]:
+    """Decode in a daemon thread with a timeout — corrupt files can hang
+    codec libraries (reference: data_video.py:199-214)."""
+    import threading
+    result: dict = {}
+
+    def _target():
+        try:
+            result['value'] = load_video(path)
+        except Exception as e:  # propagate after join
+            result['error'] = e
+
+    th = threading.Thread(target=_target, daemon=True)
+    th.start()
+    th.join(timeout)
+    if th.is_alive():
+        raise TimeoutError(f'video decode timed out after {timeout}s: {path}')
+    if 'error' in result:
+        raise result['error']
+    return result['value']

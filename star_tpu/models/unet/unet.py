@@ -45,6 +45,8 @@ class VideoUNetTrunk(nn.Module):
     context_dim: int = 1024
     dropout: float = 0.1
     is_controlnet: bool = False
+    remat: bool = False   # rematerialize blocks (training; replaces the
+    #                       reference's fairscale checkpoint_wrapper)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -66,14 +68,21 @@ class VideoUNetTrunk(nn.Module):
 
         x = x.astype(self.dtype).reshape(b * f, hh, ww, cin)
 
+        # remat: recompute block activations in the backward pass
+        # (unet_v2v.py:1639 wraps every block in fairscale checkpoint_wrapper)
+        SpatialTx = (nn.remat(SpatialTransformer) if self.remat
+                     else SpatialTransformer)
+        TemporalTx = (nn.remat(TemporalTransformer) if self.remat
+                      else TemporalTransformer)
+        Res = (nn.remat(ResBlock, static_argnums=(3, 4)) if self.remat
+               else ResBlock)
+
         def spatial_tx(c, name):
-            return SpatialTransformer(c, c // hd, hd, dtype=self.dtype,
-                                      name=name)
+            return SpatialTx(c, c // hd, hd, dtype=self.dtype, name=name)
 
         def temporal_tx(c, name, num_heads=None):
             nheads = (c // hd) if num_heads is None else num_heads
-            return TemporalTransformer(c, nheads, hd, dtype=self.dtype,
-                                       name=name)
+            return TemporalTx(c, nheads, hd, dtype=self.dtype, name=name)
 
         def run_temporal(mod, x):
             bf = x.shape[0]
@@ -115,9 +124,9 @@ class VideoUNetTrunk(nn.Module):
 
         for i, (in_d, out_d) in enumerate(zip(enc_dims[:-1], enc_dims[1:])):
             for j in range(self.num_res_blocks):
-                x = ResBlock(out_d, dropout=self.dropout, dtype=self.dtype,
+                x = Res(out_d, dropout=self.dropout, dtype=self.dtype,
                              name=f'enc_{i}_{j}_res')(
-                                 x, e, f, deterministic=deterministic)
+                                 x, e, f, deterministic)
                 if scale in self.attn_scales:
                     x = spatial_tx(out_d, f'enc_{i}_{j}_spatial')(x, context)
                     x = run_temporal(temporal_tx(out_d, f'enc_{i}_{j}_temporal'), x)
@@ -129,12 +138,12 @@ class VideoUNetTrunk(nn.Module):
 
         # --- middle ----------------------------------------------------------
         mid_d = enc_dims[-1]
-        x = ResBlock(mid_d, dropout=self.dropout, dtype=self.dtype,
-                     name='mid_res1')(x, e, f, deterministic=deterministic)
+        x = Res(mid_d, dropout=self.dropout, dtype=self.dtype,
+                     name='mid_res1')(x, e, f, deterministic)
         x = spatial_tx(mid_d, 'mid_spatial')(x, context)
         x = run_temporal(temporal_tx(mid_d, 'mid_temporal'), x)
-        x = ResBlock(mid_d, dropout=self.dropout, dtype=self.dtype,
-                     name='mid_res2')(x, e, f, deterministic=deterministic)
+        x = Res(mid_d, dropout=self.dropout, dtype=self.dtype,
+                     name='mid_res2')(x, e, f, deterministic)
 
         if self.is_controlnet:
             xs.append(zero_conv(mid_d, 'middle_out')(x))
@@ -152,9 +161,9 @@ class VideoUNetTrunk(nn.Module):
                 if controls_list is not None:
                     skip = skip + controls_list.pop().astype(self.dtype)
                 x = jnp.concatenate([x, skip], axis=-1)
-                x = ResBlock(out_d, dropout=self.dropout, dtype=self.dtype,
+                x = Res(out_d, dropout=self.dropout, dtype=self.dtype,
                              name=f'dec_{i}_{j}_res')(
-                                 x, e, f, deterministic=deterministic)
+                                 x, e, f, deterministic)
                 if scale in self.attn_scales:
                     x = spatial_tx(out_d, f'dec_{i}_{j}_spatial')(x, context)
                     x = run_temporal(temporal_tx(out_d, f'dec_{i}_{j}_temporal'), x)
