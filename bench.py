@@ -9,13 +9,16 @@ latents (90x160, the grid every <=720p input maps to — video_to_video_model.py
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-vs_baseline: the reference publishes no throughput numbers (BASELINE.md).
-Baseline constant below is an A100 fp16 estimate for the same step derived
-from the reference's own workload arithmetic: the 72-frame toy clip at 39GB
-VRAM takes ~25 min end-to-end on A100-class hardware per community reports;
-15 steps x 5 chunks x 2 UNet passes -> ~2.2 s per CFG step per 32-frame
-chunk, i.e. ~550 ms for an 8-frame chunk. Replace with a measured number
+vs_baseline: the reference publishes no throughput numbers (BASELINE.md), so
+the constant below is a FLOP-derived A100 estimate for the same step: XLA
+cost analysis of this exact graph reports 93 TFLOP per CFG step; an A100
+(312 TF/s fp16 peak) running the reference's eager torch + xformers stack at
+a generous 40% of peak does it in ~745 ms. vs_baseline = est_ref_ms / ours
+(>1 means faster than the A100 estimate). Replace with a measured number
 when reference hardware is available.
+
+Context numbers measured on this chip (not in the JSON): SVD temporal VAE at
+720p decodes 5.1 fps / encodes 20.8 fps (windowed lax.map decode).
 """
 
 import json
@@ -23,7 +26,7 @@ import os
 import sys
 import time
 
-REFERENCE_STEP_MS_8F = 550.0  # documented estimate, see module docstring
+REFERENCE_STEP_MS_8F = 745.0  # FLOP-derived estimate, see module docstring
 
 
 def main():

@@ -17,8 +17,14 @@ from argparse import ArgumentParser
 
 def parse_args():
     p = ArgumentParser()
-    p.add_argument('--input_path', required=True, type=str,
-                   help='input video path')
+    p.add_argument('--input_path', type=str, default=None,
+                   help='input video path (single-video mode)')
+    p.add_argument('--input_dir', type=str, default=None,
+                   help='directory of *.mp4 (batch mode, like '
+                        'inference_sr.sh pairing videos with prompt lines)')
+    p.add_argument('--prompt_file', type=str, default=None,
+                   help='one prompt per line, paired with sorted videos '
+                        '(batch mode; count must match)')
     p.add_argument('--save_dir', type=str, default='results')
     p.add_argument('--file_name', type=str, default=None)
     p.add_argument('--model_path', type=str,
@@ -52,6 +58,26 @@ def main():
     logger = get_logger()
     steps = 15 if args.solver_mode == 'fast' else args.steps
 
+    # build + validate the work list BEFORE the (slow) model build
+    # (inference_sr.sh:27-30 asserts video/prompt counts agree up front)
+    if args.input_dir:
+        import glob
+        videos = sorted(glob.glob(os.path.join(args.input_dir, '*.mp4')))
+        assert videos, f'no *.mp4 under {args.input_dir}'
+        if args.prompt_file:
+            with open(args.prompt_file) as f:
+                prompts = [ln.strip() for ln in f if ln.strip()]
+            assert len(prompts) == len(videos), (
+                f'{len(videos)} videos but {len(prompts)} prompts')
+        else:
+            prompts = [args.prompt] * len(videos)
+        jobs = list(zip(videos, prompts))
+    else:
+        assert args.input_path, 'pass --input_path or --input_dir'
+        jobs = [(args.input_path, args.prompt)]
+    for video_path, _ in jobs:
+        assert os.path.exists(video_path), video_path
+
     dtype = jnp.bfloat16 if args.dtype == 'bfloat16' else jnp.float32
     if os.path.exists(args.model_path):
         from ..convert.load import load_star_models
@@ -72,13 +98,15 @@ def main():
         color_fix=args.color_fix)
     pipe = build_pipeline(models, cfg)
 
-    frames, fps = load_video(args.input_path)
-    logger.info('input: %s frames @ %.2f fps, %sx%s', frames.shape[0], fps,
-                frames.shape[1], frames.shape[2])
-    out = pipe.enhance_a_video(frames, args.prompt, seed=args.seed)
-    name = args.file_name or os.path.basename(args.input_path)
-    path = save_video(out, args.save_dir, name, fps=fps)
-    logger.info('saved %s', path)
+    for video_path, prompt in jobs:
+        frames, fps = load_video(video_path)
+        logger.info('input %s: %s frames @ %.2f fps, %sx%s', video_path,
+                    frames.shape[0], fps, frames.shape[1], frames.shape[2])
+        out = pipe.enhance_a_video(frames, prompt, seed=args.seed)
+        name = (args.file_name if len(jobs) == 1 and args.file_name
+                else os.path.basename(video_path))
+        path = save_video(out, args.save_dir, name, fps=fps)
+        logger.info('saved %s', path)
 
 
 if __name__ == '__main__':

@@ -168,7 +168,10 @@ class SpatialTransformerBlock(nn.Module):
 
 class TemporalTransformerBlock(nn.Module):
     """BasicTransformerBlock, 'temp' type with two LIEM gates
-    (unet_v2v.py:479-491); both attentions are temporal self-attention."""
+    (unet_v2v.py:479-491); both attentions are temporal self-attention.
+
+    Layout: [B, F, N, C] (frame attention computed in place; LIEM/LN/FF are
+    per-token so layout-agnostic)."""
     dim: int
     num_heads: int
     head_dim: int
@@ -176,15 +179,15 @@ class TemporalTransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        # x: [BHW, F, C]
+        # x: [B, F, N, C]
         x_local = TemporalLIEM(dtype=self.dtype, name='local1')(x)
-        x = Attention(self.num_heads, self.head_dim, self.dim,
-                      dtype=self.dtype, name='attn1')(
-                          LayerNorm(name='norm1')(x_local)) + x
+        x = TemporalAttentionInplace(self.num_heads, self.head_dim, self.dim,
+                                     dtype=self.dtype, name='attn1')(
+                                         LayerNorm(name='norm1')(x_local)) + x
         x_local = TemporalLIEM(dtype=self.dtype, name='local2')(x)
-        x = Attention(self.num_heads, self.head_dim, self.dim,
-                      dtype=self.dtype, name='attn2')(
-                          LayerNorm(name='norm2')(x_local)) + x
+        x = TemporalAttentionInplace(self.num_heads, self.head_dim, self.dim,
+                                     dtype=self.dtype, name='attn2')(
+                                         LayerNorm(name='norm2')(x_local)) + x
         x = FeedForwardGEGLU(self.dim, dtype=self.dtype, name='ff')(
             LayerNorm(name='norm3')(x)) + x
         return x
@@ -215,9 +218,48 @@ class SpatialTransformer(nn.Module):
         return x.reshape(bf, h, w, c) + x_in
 
 
+class TemporalAttentionInplace(nn.Module):
+    """Attention over the frame axis of [B, F, N, C] WITHOUT transposing the
+    big activation to [B*N, F, C] (the reference materializes that transpose,
+    unet_v2v.py:1045-1056; here the per-pixel frame attention is an einsum
+    with hw kept in place — logits are only [B, H, N, F, F]).
+
+    Param names/shapes identical to Attention (to_q/k/v/out) so the converter
+    and checkpoints are shared."""
+    num_heads: int
+    head_dim: int
+    out_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        b, f, n, c = x.shape
+        inner = self.num_heads * self.head_dim
+        dense = lambda feats, name, bias: nn.Dense(
+            feats, use_bias=bias, dtype=self.dtype, name=name)
+        q = dense(inner, 'to_q', False)(x).reshape(b, f, n, self.num_heads,
+                                                   self.head_dim)
+        k = dense(inner, 'to_k', False)(x).reshape(b, f, n, self.num_heads,
+                                                   self.head_dim)
+        v = dense(inner, 'to_v', False)(x).reshape(b, f, n, self.num_heads,
+                                                   self.head_dim)
+        scale = 1.0 / np.sqrt(self.head_dim)
+        logits = jnp.einsum('bfnhd,bgnhd->bnhfg', q, k,
+                            preferred_element_type=jnp.float32) * scale
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        out = jnp.einsum('bnhfg,bgnhd->bfnhd', probs.astype(self.dtype), v,
+                         preferred_element_type=jnp.float32).astype(self.dtype)
+        out = out.reshape(b, f, n, inner)
+        return dense(self.out_dim, 'to_out', True)(out)
+
+
 class TemporalTransformer(nn.Module):
     """Per-pixel transformer over F tokens (unet_v2v.py:970-1092,
-    use_linear=False -> 1x1 conv projections == Dense on channels)."""
+    use_linear=False -> 1x1 conv projections == Dense on channels).
+
+    TPU-first: everything runs in [B, F, HW, C] layout; the frame-axis
+    attention is computed in place (TemporalAttentionInplace) instead of the
+    reference's (b h w) f c transpose."""
     channels: int
     num_heads: int
     head_dim: int
@@ -230,15 +272,13 @@ class TemporalTransformer(nn.Module):
         inner = self.num_heads * self.head_dim
         x_in = x
         x = GroupNorm(eps=1e-6, name='norm')(x)
-        # [B, F, H, W, C] -> [B*HW, F, C]
-        x = x.transpose(0, 2, 3, 1, 4).reshape(b * h * w, f, c)
+        x = x.reshape(b, f, h * w, c)
         x = nn.Dense(inner, dtype=self.dtype, name='proj_in')(x)
         x = TemporalTransformerBlock(inner, self.num_heads, self.head_dim,
                                      dtype=self.dtype, name='block')(x)
         x = nn.Dense(c, dtype=self.dtype, name='proj_out',
                      kernel_init=nn.initializers.zeros)(x)
-        x = x.reshape(b, h, w, f, c).transpose(0, 3, 1, 2, 4)
-        return x + x_in
+        return x.reshape(b, f, h, w, c) + x_in
 
 
 class TemporalConvBlockV2(nn.Module):

@@ -245,9 +245,12 @@ class SVDTemporalVAE(nn.Module):
     def decode(self, latents):
         """Scaled latents [B,F,h,w,4] -> video [B,F,8h,8w,3].
 
-        Folds the reference's 3-frame serial decode windows into the batch
-        dim: each window sees zero temporal padding at its edges, exactly like
-        the reference's independent decoder calls.
+        The reference decodes 3-frame windows serially to bound VRAM
+        (video_to_video_model.py:144-151); each window sees zero temporal
+        padding at its edges. Here the windows run under ONE lax.map (single
+        decoder trace, sequential device execution) — at 720p a fully
+        batched decode blows HBM (measured RESOURCE_EXHAUSTED on v5e), so
+        sequential-with-one-compile is the right TPU shape too.
         """
         z = latents / SVD_VAE_SCALING
         b, f, hh, ww, c = z.shape
@@ -255,8 +258,13 @@ class SVDTemporalVAE(nn.Module):
         n_full = f // win
         outs = []
         if n_full:
-            zw = z[:, :n_full * win].reshape(b * n_full, win, hh, ww, c)
-            dec = self.decoder(zw)
+            zw = z[:, :n_full * win].reshape(b, n_full, win, hh, ww, c)
+            zw = zw.transpose(1, 0, 2, 3, 4, 5)          # [n, B, win, h, w, c]
+            if n_full == 1:
+                dec = self.decoder(zw[0])[None]
+            else:
+                dec = jax.lax.map(self.decoder, zw)      # [n, B, win, H, W, 3]
+            dec = dec.transpose(1, 0, 2, 3, 4, 5)
             outs.append(dec.reshape(b, n_full * win, hh * 8, ww * 8, -1))
         rem = f - n_full * win
         if rem:

@@ -93,3 +93,34 @@ def test_step_timer():
     t.timed('double', f, jnp.ones((4,)), warmup=1, iters=3)
     s = t.summary()
     assert 'double' in s and s['double'] > 0
+
+
+def test_general_conditioner():
+    from star_tpu.models.conditioner import GeneralConditioner, TextEmbedder
+
+    class Tok:
+        def __call__(self, texts):
+            return np.array([[len(t) % 7, 1] for t in texts], np.int32)
+
+    emb = TextEmbedder('txt', Tok(),
+                       lambda tok: jnp.asarray(tok, jnp.float32)[:, :, None]
+                       * jnp.ones((1, 1, 4)), ucg_rate=0.0)
+    cond = GeneralConditioner([emb])
+    batch = {'txt': ['hello world', 'another prompt']}
+    c, uc = cond.get_unconditional_conditioning(batch)
+    assert c['crossattn'].shape == (2, 2, 4)
+    assert not np.allclose(np.asarray(c['crossattn']),
+                           np.asarray(uc['crossattn']))
+    # negative-prompt uncond
+    c2, uc2 = cond.get_unconditional_conditioning(
+        batch, negative_batch={'txt': ['bad quality', 'bad quality']})
+    assert not np.allclose(np.asarray(uc2['crossattn']),
+                           np.asarray(uc['crossattn']))
+    # ucg dropout blanks with rate 1
+    emb_d = TextEmbedder('txt', Tok(),
+                         lambda tok: jnp.asarray(tok, jnp.float32),
+                         ucg_rate=1.0)
+    out = GeneralConditioner([emb_d])(batch)
+    np.testing.assert_allclose(np.asarray(out['vector']),
+                               np.asarray(GeneralConditioner([emb_d])(
+                                   batch, force_uncond=True)['vector']))

@@ -121,3 +121,21 @@ def test_spatial_shape_flexibility(tiny_model):
     x, t, y, hint = _inputs(h=26, w=24)
     out = m.apply(params, x, t, y, hint)
     assert out.shape == x.shape
+
+
+def test_temporal_inplace_attention_equals_transposed():
+    """TemporalAttentionInplace([B,F,N,C]) must equal plain Attention on the
+    reference's (B*N, F, C) transposed layout with the same weights."""
+    from star_tpu.models.unet.blocks import Attention, TemporalAttentionInplace
+    b, f, n, c = 2, 4, 6, 32
+    x = jax.random.normal(jax.random.PRNGKey(0), (b, f, n, c))
+    m_new = TemporalAttentionInplace(2, 16, c)
+    p = m_new.init(jax.random.PRNGKey(1), x)
+    out_new = m_new.apply(p, x)
+
+    m_old = Attention(2, 16, c)
+    x_t = x.transpose(0, 2, 1, 3).reshape(b * n, f, c)
+    out_old = m_old.apply(p, x_t)  # same param tree (to_q/k/v/out)
+    out_old = out_old.reshape(b, n, f, c).transpose(0, 2, 1, 3)
+    np.testing.assert_allclose(np.asarray(out_new), np.asarray(out_old),
+                               atol=1e-5)
