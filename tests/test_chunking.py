@@ -65,3 +65,17 @@ def test_chunked_x0_batches_equal_length_windows():
     x0_fn(xt, jnp.int32(1))
     # windows (0,32),(16,48),(32,64) all len-32 -> ONE call with batch 3
     assert calls == [(3, 32, 2, 2, 1)], calls
+
+
+def test_pad_to_fit_yields_valid_latent_grid():
+    """The UNet's asymmetric down/up chain needs latent H ≡ 2 (mod 8) and W a
+    multiple of 8; pad_to_fit must guarantee that for any input size."""
+    from star_tpu.ops.resize import pad_to_fit
+    for h, w in ((240, 426), (720, 1280), (960, 1704), (1080, 1920),
+                 (480, 640), (2160, 3840)):
+        w1, w2, h1, h2 = pad_to_fit(h, w)
+        ph, pw = h + h1 + h2, w + w1 + w2
+        assert ph % 8 == 0 and pw % 8 == 0, (h, w, ph, pw)
+        lat_h, lat_w = ph // 8, pw // 8
+        assert lat_h % 8 == 2, (h, ph, lat_h)
+        assert lat_w % 8 == 0, (w, pw, lat_w)
