@@ -96,7 +96,7 @@ def main():
                               guide_scale=args.cfg),
         upscale=args.upscale, max_chunk_len=args.max_chunk_len,
         color_fix=args.color_fix)
-    pipe = build_pipeline(models, cfg)
+    pipe = build_pipeline(models, cfg, param_dtype=dtype)
 
     for video_path, prompt in jobs:
         frames, fps = load_video(video_path)

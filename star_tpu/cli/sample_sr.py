@@ -72,8 +72,8 @@ def main():
     else:
         raise FileNotFoundError(args.model_path)
 
-    def vae_decode_window(latents, cache, first):
-        variables = {'params': vae_params['params']}
+    def vae_decode_window(vp, latents, cache, first):
+        variables = {'params': vp['params']}
         if cache:
             variables['cache'] = cache
         out, mut = vae.apply(variables, latents, True, first,
@@ -81,12 +81,13 @@ def main():
         return out, mut['cache']
 
     bundle = CogModelBundle(
-        dit_apply=lambda x, t, c: dit.apply(dit_params, x, t, c),
-        vae_encode=lambda v, key: vae.apply(vae_params, v, key,
-                                            method=CogVideoVAE.encode),
+        dit_apply=lambda p, x, t, c: dit.apply(p, x, t, c),
+        vae_encode=lambda p, v, key: vae.apply(p, v, key,
+                                               method=CogVideoVAE.encode),
         vae_decode_window=vae_decode_window,
-        text_encode=lambda tok: t5.apply(t5_params, tok),
-        tokenizer=default_t5_tokenizer())
+        text_encode=lambda p, tok: t5.apply(p, tok),
+        tokenizer=default_t5_tokenizer(),
+        params={'dit': dit_params, 'vae': vae_params, 'text': t5_params})
     pipe = CogVideoSRPipeline(bundle, CogSamplerConfig(
         num_steps=args.num_steps, guider_scale=args.guider_scale))
 

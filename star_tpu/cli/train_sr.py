@@ -97,7 +97,8 @@ def main():
             lambda p, x, t, y, hint: models.unet.apply(p, x, t, y, hint,
                                                        deterministic=True),
             tables, tx,
-            vae_decode=bundle.vae_decode if args.freq_loss else None))
+            vae_decode=(lambda z: bundle.vae_decode(
+                bundle.params['vae'], z)) if args.freq_loss else None))
 
         ckpt_dir = os.path.abspath(os.path.join(args.output_dir, 'ckpt'))
         mngr = ocp.CheckpointManager(ckpt_dir, options=ocp.CheckpointManagerOptions(
@@ -126,10 +127,10 @@ def main():
             gt = jnp.asarray(sample['gt'])[None]
             lq = jnp.asarray(sample['lq'])[None]
             k_enc, k_step, key = jax.random.split(key, 3)
-            gt_lat = bundle.vae_encode(gt, k_enc)
-            lq_lat = bundle.vae_encode(lq, None)
+            gt_lat = bundle.vae_encode(bundle.params['vae'], gt, k_enc)
+            lq_lat = bundle.vae_encode(bundle.params['vae'], lq, None)
             tokens = jnp.asarray(bundle.tokenizer([sample['text']]))
-            y = bundle.text_encode(tokens)
+            y = bundle.text_encode(bundle.params['text'], tokens)
             batch = {'gt_latent': jax.device_put(gt_lat, batch_sh),
                      'lq_latent': jax.device_put(lq_lat, batch_sh),
                      'y': jax.device_put(y, batch_sh)}

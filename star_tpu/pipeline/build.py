@@ -54,29 +54,36 @@ def init_random_models(key: jax.Array, dtype=jnp.bfloat16,
     return StarModels(unet, unet_params, vae, vae_params, text, text_params)
 
 
-def make_bundle(models: StarModels, tokenizer=None) -> ModelBundle:
+def cast_floating(tree, dtype):
+    """Cast floating leaves (weights) to `dtype`; ints/bools pass through."""
+    return jax.tree.map(
+        lambda a: a.astype(dtype)
+        if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating) else a, tree)
+
+
+def make_bundle(models: StarModels, tokenizer=None,
+                param_dtype=None) -> ModelBundle:
+    """Params travel inside the bundle pytree (NOT closures — see
+    ModelBundle docstring). param_dtype=jnp.bfloat16 halves weight HBM for
+    inference."""
     tokenizer = tokenizer or default_tokenizer()
+    params = {'unet': models.unet_params, 'vae': models.vae_params,
+              'text': models.text_params}
+    if param_dtype is not None:
+        params = cast_floating(params, param_dtype)
 
-    def unet_apply(x, t, y, hint):
-        return models.unet.apply(models.unet_params, x, t, y, hint)
-
-    def vae_encode(video, key):
-        return models.vae.apply(models.vae_params, video, key,
-                                method=SVDTemporalVAE.encode)
-
-    def vae_decode(latents):
-        return models.vae.apply(models.vae_params, latents,
-                                method=SVDTemporalVAE.decode)
-
-    def text_encode(tokens):
-        return models.text.apply(models.text_params, tokens)
-
-    return ModelBundle(unet_apply=unet_apply, vae_encode=vae_encode,
-                       vae_decode=vae_decode, text_encode=text_encode,
-                       tokenizer=tokenizer)
+    return ModelBundle(
+        unet_apply=lambda p, x, t, y, hint: models.unet.apply(p, x, t, y,
+                                                              hint),
+        vae_encode=lambda p, v, key: models.vae.apply(
+            p, v, key, method=SVDTemporalVAE.encode),
+        vae_decode=lambda p, z: models.vae.apply(
+            p, z, method=SVDTemporalVAE.decode),
+        text_encode=lambda p, tok: models.text.apply(p, tok),
+        tokenizer=tokenizer, params=params)
 
 
 def build_pipeline(models: StarModels,
                    config: PipelineConfig = PipelineConfig(),
-                   tokenizer=None) -> STARPipeline:
-    return STARPipeline(make_bundle(models, tokenizer), config)
+                   tokenizer=None, param_dtype=None) -> STARPipeline:
+    return STARPipeline(make_bundle(models, tokenizer, param_dtype), config)

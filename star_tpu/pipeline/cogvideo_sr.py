@@ -28,17 +28,22 @@ from .color_fix import adain_color_fix
 
 @dataclasses.dataclass
 class CogModelBundle:
-    """dit_apply(x32ch, t_idx, context) -> v   [B,T,h,w,16] out
-    vae_encode(video, key) -> scaled latents   [B,F,H,W,3] -> [B,T,h,w,16]
-    vae_decode_window(latents, cache, first) -> (video, new_cache)
-    text_encode(tokens) -> [B, 226, 4096]
-    tokenizer(texts) -> [B, 226] int32
+    """Params travel as a pytree; apply callables take them explicitly
+    (closure-captured weights bake into jitted graphs as constants — see
+    ModelBundle). Contracts:
+      dit_apply(params, x32ch, t_idx, context) -> v   [B,T,h,w,16]
+      vae_encode(params, video, key) -> scaled latents
+      vae_decode_window(params, latents, cache, first) -> (video, new_cache)
+      text_encode(params, tokens) -> [B, 226, 4096]
+      tokenizer(texts) -> [B, 226] int32
+      params: {'dit': .., 'vae': .., 'text': ..}
     """
     dit_apply: Callable[..., jax.Array]
     vae_encode: Callable[..., jax.Array]
     vae_decode_window: Callable[..., tuple]
     text_encode: Callable[..., jax.Array]
     tokenizer: Any
+    params: Any
 
 
 @dataclasses.dataclass(frozen=True)
@@ -64,7 +69,8 @@ class CogVideoSRPipeline:
     def encode_prompt(self, prompt: str) -> jax.Array:
         if prompt not in self._text_cache:
             tokens = jnp.asarray(self.models.tokenizer([prompt]))
-            self._text_cache[prompt] = jax.jit(self.models.text_encode)(tokens)
+            self._text_cache[prompt] = jax.jit(self.models.text_encode)(
+                self.models.params['text'], tokens)
         return self._text_cache[prompt]
 
     def _build_run(self, f: int, h: int, w: int):
@@ -73,10 +79,10 @@ class CogVideoSRPipeline:
         disc = self.disc
         t_lat = (f - 1) // 4 + 1
 
-        def run(video: jax.Array, ctx_c: jax.Array, ctx_u: jax.Array,
-                key: jax.Array) -> jax.Array:
+        def run(params, video: jax.Array, ctx_c: jax.Array,
+                ctx_u: jax.Array, key: jax.Array) -> jax.Array:
             k_enc, k_noise, k_solve = jax.random.split(key, 3)
-            lq_z = models.vae_encode(video[None], k_enc)       # [1,T,h/8,w/8,16]
+            lq_z = models.vae_encode(params['vae'], video[None], k_enc)
             lq_pair = jnp.concatenate([lq_z, lq_z], axis=0)
             # uncond FIRST in the CFG pair (guiders.py:44-48)
             ctx_pair = jnp.concatenate([ctx_u, ctx_c], axis=0)
@@ -85,7 +91,8 @@ class CogVideoSRPipeline:
                 xp = jnp.concatenate([x, x], axis=0)
                 xin = jnp.concatenate([xp.astype(lq_pair.dtype), lq_pair],
                                       axis=-1)       # channel-concat LQ
-                v = models.dit_apply(xin, jnp.full((2,), t, jnp.int32),
+                v = models.dit_apply(params['dit'], xin,
+                                     jnp.full((2,), t, jnp.int32),
                                      ctx_pair).astype(jnp.float32)
                 # VideoScaling + SR rule: c_skip applies to the noise half
                 # only (denoiser.py:38-44); c_in = 1
@@ -105,10 +112,12 @@ class CogVideoSRPipeline:
     def _decode(self, out_z: jax.Array) -> jax.Array:
         """Serial chunked decode, reference windows (sample_sr.py:213-228)."""
         t_lat = out_z.shape[1]
+        vae_params = self.models.params['vae']
         recons = []
         cache = {}
         if t_lat <= 3:
-            video, _ = self.models.vae_decode_window(out_z, cache, True)
+            video, _ = self.models.vae_decode_window(vae_params, out_z,
+                                                     cache, True)
             return video
         loop_num = (t_lat - 1) // 2
         for i in range(loop_num):
@@ -117,7 +126,7 @@ class CogVideoSRPipeline:
             else:
                 s, e = i * 2 + 1, i * 2 + 3
             video, cache = self.models.vae_decode_window(
-                out_z[:, s:e], cache, i == 0)
+                vae_params, out_z[:, s:e], cache, i == 0)
             recons.append(video)
         return jnp.concatenate(recons, axis=1)
 
@@ -141,7 +150,8 @@ class CogVideoSRPipeline:
         if bucket not in self._run_cache:
             self._run_cache[bucket] = self._build_run(*bucket)
         out_z = self._run_cache[bucket](
-            jnp.asarray(video), ctx_c, ctx_u, jax.random.PRNGKey(seed))
+            self.models.params, jnp.asarray(video), ctx_c, ctx_u,
+            jax.random.PRNGKey(seed))
 
         out = self._decode(out_z)[0]                     # [F, H, W, 3]
         out255 = jnp.clip(out.astype(jnp.float32) * 0.5 + 0.5, 0, 1) * 255.0

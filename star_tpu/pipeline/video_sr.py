@@ -31,18 +31,22 @@ from .color_fix import adain_color_fix, wavelet_color_fix
 
 @dataclasses.dataclass
 class ModelBundle:
-    """The three networks the pipeline drives. apply-style callables keep the
-    pipeline agnostic of flax/param details:
-      unet_apply(x, t, y, hint) -> v        [B,F,h,w,4] latents
-      vae_encode(video, key) -> latents     [B,F,H,W,3] -> [B,F,H/8,W/8,4]
-      vae_decode(latents) -> video          inverse, scaled
-      text_encode(tokens) -> y              [B,77] -> [B,77,1024]
+    """The three networks the pipeline drives. Params travel as a pytree and
+    every apply callable takes them explicitly — closures over concrete
+    weight arrays would bake them into the jitted graph as constants
+    (measured: 8.5GB of captured constants -> HBM exhaustion at full size):
+      unet_apply(params, x, t, y, hint) -> v   [B,F,h,w,4] latents
+      vae_encode(params, video, key) -> latents
+      vae_decode(params, latents) -> video
+      text_encode(params, tokens) -> y         [B,77] -> [B,77,1024]
+      params: {'unet': .., 'vae': .., 'text': ..}
     """
     unet_apply: Callable[..., jax.Array]
     vae_encode: Callable[..., jax.Array]
     vae_decode: Callable[..., jax.Array]
     text_encode: Callable[..., jax.Array]
     tokenizer: Any
+    params: Any
 
 
 class STARPipeline:
@@ -62,7 +66,8 @@ class STARPipeline:
     def encode_prompt(self, prompt: str) -> jax.Array:
         if prompt not in self._text_cache:
             tokens = jnp.asarray(self.models.tokenizer([prompt]))
-            self._text_cache[prompt] = jax.jit(self.models.text_encode)(tokens)
+            self._text_cache[prompt] = jax.jit(self.models.text_encode)(
+                self.models.params['text'], tokens)
         return self._text_cache[prompt]
 
     # ------------------------------------------------------------------ core
@@ -83,15 +88,15 @@ class STARPipeline:
         tables = self.tables
         models = self.models
 
-        def run(video: jax.Array, y_cond: jax.Array, y_uncond: jax.Array,
-                key: jax.Array) -> jax.Array:
+        def run(params, video: jax.Array, y_cond: jax.Array,
+                y_uncond: jax.Array, key: jax.Array) -> jax.Array:
             # video: [F, H, W, 3] in [-1, 1]
             k_enc, k_diff, k_solve = jax.random.split(key, 3)
             up = resize_bilinear(video, target_h, target_w)
             padded = jnp.pad(up[None], ((0, 0), (0, 0), (h1, h2), (w1, w2),
                                         (0, 0)),
                              constant_values=cfg.pad_value)
-            z_lq = models.vae_encode(padded, k_enc)        # [1,F,ph/8,pw/8,4]
+            z_lq = models.vae_encode(params['vae'], padded, k_enc)
 
             t_init = jnp.full((1,), sc.total_noise_levels - 1, jnp.int32)
             noise = jax.random.normal(k_diff, z_lq.shape, jnp.float32)
@@ -104,7 +109,7 @@ class STARPipeline:
                 yp = jnp.concatenate([jnp.tile(y_cond, (bb, 1, 1)),
                                       jnp.tile(y_uncond, (bb, 1, 1))], axis=0)
                 tp = jnp.full((2 * bb,), t, jnp.int32)
-                v = models.unet_apply(xp, tp, yp, hp)
+                v = models.unet_apply(params['unet'], xp, tp, yp, hp)
                 v_c, v_u = jnp.split(v, 2, axis=0)
                 return denoise_to_x0(tables, xt, jnp.full((bb,), t), v_c, v_u,
                                      guide_scale=sc.guide_scale,
@@ -115,7 +120,7 @@ class STARPipeline:
                       else sample_heun)
             gen = solver(x0_fn, noised, self.schedule, sigmas, k_solve)
 
-            out = models.vae_decode(gen)                    # [1,F,ph,pw,3]
+            out = models.vae_decode(params['vae'], gen)     # [1,F,ph,pw,3]
             out = out[0, :, h1:h1 + target_h, w1:w1 + target_w, :]
             out = jnp.clip(out.astype(jnp.float32) * 0.5 + 0.5, 0.0, 1.0) * 255.0
             if cfg.color_fix == 'adain':
@@ -151,6 +156,7 @@ class STARPipeline:
         bucket = (f, h, w, target_h, target_w)
         if bucket not in self._run_cache:
             self._run_cache[bucket] = self._build_run(*bucket)
-        out = self._run_cache[bucket](jnp.asarray(video), y_cond, y_uncond,
+        out = self._run_cache[bucket](self.models.params, jnp.asarray(video),
+                                      y_cond, y_uncond,
                                       jax.random.PRNGKey(seed))
         return np.asarray(jax.device_get(out)).round().astype(np.uint8)

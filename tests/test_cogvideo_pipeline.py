@@ -54,8 +54,8 @@ def pipeline():
         def __call__(self, texts, max_length=TEXT_LEN):
             return super().__call__(texts, max_length)
 
-    def vae_decode_window(latents, cache, first):
-        variables = {'params': vparams['params']}
+    def vae_decode_window(vp, latents, cache, first):
+        variables = {'params': vp['params']}
         if cache:
             variables['cache'] = cache
         out, mut = vae.apply(variables, latents, True, first,
@@ -63,12 +63,13 @@ def pipeline():
         return out, mut['cache']
 
     bundle = CogModelBundle(
-        dit_apply=lambda x, t, c: dit.apply(dparams, x, t, c),
-        vae_encode=lambda v, key: vae.apply(vparams, v, key,
-                                            method=TinyVAE.encode),
+        dit_apply=lambda p, x, t, c: dit.apply(p, x, t, c),
+        vae_encode=lambda p, v, key: vae.apply(p, v, key,
+                                               method=TinyVAE.encode),
         vae_decode_window=vae_decode_window,
-        text_encode=Text(),
-        tokenizer=Tok())
+        text_encode=lambda p, tok: Text()(tok),
+        tokenizer=Tok(),
+        params={'dit': dparams, 'vae': vparams, 'text': {}})
     return CogVideoSRPipeline(bundle, CogSamplerConfig(num_steps=6))
 
 

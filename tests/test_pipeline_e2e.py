@@ -67,11 +67,13 @@ def pipeline():
             return np.clip(out % 1000, 0, 999)
 
     bundle = ModelBundle(
-        unet_apply=lambda x, t, y, hint: unet.apply(up, x, t, y, hint),
-        vae_encode=lambda v, key: vae.apply(vp, v, key, method=TinyVAE.encode),
-        vae_decode=lambda z: vae.apply(vp, z, method=TinyVAE.decode),
-        text_encode=lambda tok: text.apply(tp, tok),
-        tokenizer=SmallVocabTok())
+        unet_apply=lambda p, x, t, y, hint: unet.apply(p, x, t, y, hint),
+        vae_encode=lambda p, v, key: vae.apply(p, v, key,
+                                               method=TinyVAE.encode),
+        vae_decode=lambda p, z: vae.apply(p, z, method=TinyVAE.decode),
+        text_encode=lambda p, tok: text.apply(p, tok),
+        tokenizer=SmallVocabTok(),
+        params={'unet': up, 'vae': vp, 'text': tp})
 
     cfg = PipelineConfig(sampler=SamplerConfig(steps=4, solver_mode='normal'),
                          upscale=4, max_chunk_len=4, pad_grid=(144, 64))
