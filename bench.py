@@ -33,6 +33,8 @@ def main():
     import jax
     import jax.numpy as jnp
     from star_tpu.models.unet.unet import ControlledV2VUNet
+    from star_tpu.utils.cache import enable_compile_cache
+    enable_compile_cache()
 
     model = ControlledV2VUNet(dtype=jnp.bfloat16)
 

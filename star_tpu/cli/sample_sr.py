@@ -33,6 +33,8 @@ def parse_args():
 def main():
     args = parse_args()
     import jax
+    from ..utils.cache import enable_compile_cache
+    enable_compile_cache()
     import jax.numpy as jnp
     import numpy as np
 
