@@ -170,3 +170,25 @@ def test_cog_trainable_filter_and_step():
                                                      np.asarray(new)))
     assert frozen_changed == 0
     assert trainable_changed > 0
+
+
+def test_load_star_models_roundtrip(tmp_path):
+    """convert.load.load_star_models: orbax {unet,vae,clip} layout + bf16
+    cast (the CLI weight-loading path)."""
+    import jax
+    import jax.numpy as jnp
+    from star_tpu.convert import save_params
+    from star_tpu.convert.load import load_star_models
+
+    trees = {
+        'unet': {'unet': {'conv_in': {'kernel': np.ones((3, 3, 4, 8),
+                                                        np.float32)}}},
+        'vae': {'encoder': {'conv_in': {'bias': np.zeros((8,), np.float32)}}},
+        'clip': {'token_embedding': np.ones((10, 4), np.float32)},
+    }
+    for name, tree in trees.items():
+        save_params(str(tmp_path / name), tree)
+    models = load_star_models(str(tmp_path), dtype=jnp.bfloat16)
+    k = models.unet_params['params']['unet']['conv_in']['kernel']
+    assert k.dtype == jnp.bfloat16 and k.shape == (3, 3, 4, 8)
+    assert models.text_params['params']['token_embedding'].dtype == jnp.bfloat16
