@@ -71,10 +71,18 @@ def _flash_kernel(mask_ref, q_ref, k_ref, v_ref, o_ref, m_scr, l_scr,
         # references survive). Removes the max-reduce, the alpha pass and the
         # accumulator rescale — the kernel's VPU bottleneck.
         p = jnp.exp2(jnp.minimum(s, 120.0))        # [bq, bk] fp32
-        l_scr[:, :1] += jnp.sum(p, axis=1, keepdims=True)
-        acc_scr[:] += jax.lax.dot_general(p.astype(v.dtype), v,
-                                          (((1,), (0,)), ((), ())),
-                                          preferred_element_type=jnp.float32)
+        # fold the row-sum into the MXU: v is extended with a ones column, so
+        # p @ [v | 1] yields [acc | l] in one dot — the (bk, 64) rhs occupies
+        # a 128-lane MXU tile anyway, making the extra column free, and the
+        # (bq, bk) VPU reduction disappears.
+        d = v.shape[-1]
+        ones_col = jnp.ones((v.shape[0], 1), v.dtype)
+        v_ext = jnp.concatenate([v, ones_col], axis=1)
+        out_ext = jax.lax.dot_general(p.astype(v.dtype), v_ext,
+                                      (((1,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+        acc_scr[:] += out_ext[:, :d]
+        l_scr[:, :1] += out_ext[:, d:d + 1]
     else:
         m_prev = m_scr[:, :1]                      # [bq, 1]
         l_prev = l_scr[:, :1]
