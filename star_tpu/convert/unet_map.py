@@ -23,8 +23,12 @@ from .layout import (conv1d_as_dense, conv2d_kernel, conv3d_t11_kernel,
 Entry = Tuple[str, Callable[[np.ndarray], np.ndarray] | None]
 NameMap = Dict[str, Entry]
 
-ATTN_STAGES_ENC = (True, True, True, False)
-ATTN_STAGES_DEC = (False, True, True, True)
+def _attn_stages(dim_mult, attn_scales):
+    """Which stages carry spatial+temporal transformers: the running scale
+    starts at 1.0 and halves after each encoder downsample (unet_v2v.py:1335,
+    1436); the decoder walks it back up."""
+    enc = tuple((0.5 ** i) in tuple(attn_scales) for i in range(len(dim_mult)))
+    return enc, enc[::-1]
 
 
 def _norm(dst: str, src: str, m: NameMap):
@@ -121,9 +125,11 @@ def _res_block(dst: str, src: str, m: NameMap, has_skip: bool,
 
 
 def trunk_name_map(is_controlnet: bool, dim: int = 320,
-                   dim_mult=(1, 2, 4, 4), num_res_blocks: int = 2) -> NameMap:
+                   dim_mult=(1, 2, 4, 4), num_res_blocks: int = 2,
+                   attn_scales=(1.0, 0.5, 0.25)) -> NameMap:
     """Map for one VideoUNetTrunk vs one torch Vid2VidSDUNet/VideoControlNet
     (state-dict names relative to the net, no 'VideoControlNet.' prefix)."""
+    attn_enc, attn_dec = _attn_stages(dim_mult, attn_scales)
     m: NameMap = {}
     _dense('time_embed_1', 'time_embed.0', m)
     _dense('time_embed_2', 'time_embed.2', m)
@@ -142,7 +148,7 @@ def trunk_name_map(is_controlnet: bool, dim: int = 320,
             src = f'input_blocks.{blk}'
             _res_block(f'enc_{i}_{j}_res', f'{src}.0', m,
                        has_skip=(in_d if j == 0 else out_d) != out_d)
-            if ATTN_STAGES_ENC[i]:
+            if attn_enc[i]:
                 _spatial_tx(f'enc_{i}_{j}_spatial', f'{src}.1', m)
                 _temporal_tx(f'enc_{i}_{j}_temporal', f'{src}.2', m)
             if is_controlnet:
@@ -171,7 +177,7 @@ def trunk_name_map(is_controlnet: bool, dim: int = 320,
             src = f'output_blocks.{blk}'
             _res_block(f'dec_{i}_{j}_res', f'{src}.0', m, has_skip=True)
             idx = 1
-            if ATTN_STAGES_DEC[i]:
+            if attn_dec[i]:
                 _spatial_tx(f'dec_{i}_{j}_spatial', f'{src}.{idx}', m)
                 _temporal_tx(f'dec_{i}_{j}_temporal', f'{src}.{idx + 1}', m)
                 idx += 2
@@ -184,12 +190,13 @@ def trunk_name_map(is_controlnet: bool, dim: int = 320,
     return m
 
 
-def controlled_unet_name_map() -> NameMap:
+def controlled_unet_name_map(**cfg) -> NameMap:
     """Full ControlledV2VUNet: 'unet/...' from the top-level names,
-    'controlnet/...' from the 'VideoControlNet.' prefix."""
+    'controlnet/...' from the 'VideoControlNet.' prefix. `cfg` forwards
+    dim/dim_mult/num_res_blocks/attn_scales for scaled-down variants."""
     m: NameMap = {}
-    for path, (src, fn) in trunk_name_map(False).items():
+    for path, (src, fn) in trunk_name_map(False, **cfg).items():
         m[f'unet/{path}'] = (src, fn)
-    for path, (src, fn) in trunk_name_map(True).items():
+    for path, (src, fn) in trunk_name_map(True, **cfg).items():
         m[f'controlnet/{path}'] = (f'VideoControlNet.{src}', fn)
     return m

@@ -183,13 +183,30 @@ class ControlledV2VUNet(nn.Module):
     """UNet + video ControlNet; hint is the LQ latent (unet_v2v.py:1712-1809).
 
     __call__(x, t, y, hint) -> v-prediction, all [B, F, H, W, 4] channels-last.
+
+    Non-default dims build a structurally identical scaled-down pair (used by
+    the golden-parity tests against a same-config torch reference model).
     """
     dtype: jnp.dtype = jnp.float32
+    dim: int = 320
+    dim_mult: Sequence[int] = (1, 2, 4, 4)
+    num_res_blocks: int = 2
+    attn_scales: Sequence[float] = (1.0, 0.5, 0.25)
+    head_dim: int = 64
+    num_heads_init_temporal: int = 8
+    context_dim: int = 1024
+    remat: bool = False
 
     def setup(self):
-        self.unet = VideoUNetTrunk(dtype=self.dtype, name='unet')
-        self.controlnet = VideoUNetTrunk(dtype=self.dtype, is_controlnet=True,
-                                         name='controlnet')
+        kw = dict(dim=self.dim, dim_mult=self.dim_mult,
+                  num_res_blocks=self.num_res_blocks,
+                  attn_scales=self.attn_scales, head_dim=self.head_dim,
+                  num_heads_init_temporal=self.num_heads_init_temporal,
+                  context_dim=self.context_dim, remat=self.remat,
+                  dtype=self.dtype)
+        self.unet = VideoUNetTrunk(name='unet', **kw)
+        self.controlnet = VideoUNetTrunk(name='controlnet',
+                                         is_controlnet=True, **kw)
 
     def __call__(self, x: jax.Array, t: jax.Array, y: jax.Array,
                  hint: jax.Array, deterministic: bool = True) -> jax.Array:

@@ -35,14 +35,23 @@ def test_schedule_golden():
 
 def test_unet_golden_forward():
     data = _golden('unet_small.npz')
-    import jax
+    import json
+
     import jax.numpy as jnp
     from star_tpu.convert import controlled_unet_name_map, convert_state_dict
     from star_tpu.models.unet.unet import ControlledV2VUNet
 
+    cfg = json.loads(str(data['config_json']))
     sd = {k[4:]: data[k] for k in data.files if k.startswith('sd::')}
-    params = {'params': convert_state_dict(sd, controlled_unet_name_map())}
-    model = ControlledV2VUNet(dtype=jnp.float32)
+    map_cfg = dict(dim=cfg['dim'], dim_mult=tuple(cfg['dim_mult']),
+                   num_res_blocks=cfg['num_res_blocks'],
+                   attn_scales=tuple(cfg['attn_scales']))
+    params = {'params': convert_state_dict(
+        sd, controlled_unet_name_map(**map_cfg))}
+    model = ControlledV2VUNet(
+        dtype=jnp.float32, head_dim=cfg['head_dim'],
+        num_heads_init_temporal=cfg['num_heads_init_temporal'],
+        context_dim=cfg['context_dim'], **map_cfg)
 
     # torch layout (b, c, f, h, w) -> ours (b, f, h, w, c)
     to_ours = lambda a: np.transpose(a, (0, 2, 3, 4, 1))
