@@ -49,6 +49,49 @@ def clip_text_name_map(layers: int = 24, penultimate: bool = True) -> NameMap:
     return m
 
 
+def hf_clip_text_to_open_clip_sd(sd: dict) -> dict:
+    """Rename an HF CLIPTextModel state dict (laion/CLIP-ViT-H-14 is shipped
+    in this format) to open_clip's text-tower naming so clip_text_name_map
+    applies. HF stores q/k/v separately; open_clip packs them (q;k;v) into
+    in_proj_weight/in_proj_bias."""
+    out = {}
+    pfx = 'text_model.'
+    for k, v in sd.items():
+        if not k.startswith(pfx):
+            continue
+        k = k[len(pfx):]
+        if k == 'embeddings.token_embedding.weight':
+            out['token_embedding.weight'] = v
+        elif k == 'embeddings.position_embedding.weight':
+            out['positional_embedding'] = v
+        elif k.startswith('final_layer_norm.'):
+            out['ln_final.' + k.split('.', 1)[1]] = v
+        elif k.startswith('encoder.layers.'):
+            _, _, i, rest = k.split('.', 3)
+            dst = f'transformer.resblocks.{i}.'
+            rest = (rest
+                    .replace('layer_norm1.', 'ln_1.')
+                    .replace('layer_norm2.', 'ln_2.')
+                    .replace('mlp.fc1.', 'mlp.c_fc.')
+                    .replace('mlp.fc2.', 'mlp.c_proj.')
+                    .replace('self_attn.out_proj.', 'attn.out_proj.'))
+            if rest.startswith('self_attn.'):
+                continue  # q/k/v packed below
+            out[dst + rest] = v
+    # pack qkv
+    import re
+    layers = {int(mt.group(1)) for k in sd
+              if (mt := re.match(r'text_model\.encoder\.layers\.(\d+)\.', k))}
+    for i in sorted(layers):
+        src = f'text_model.encoder.layers.{i}.self_attn.'
+        dst = f'transformer.resblocks.{i}.attn.'
+        for part in ('weight', 'bias'):
+            out[dst + f'in_proj_{part}'] = np.concatenate(
+                [np.asarray(sd[src + f'{p}_proj.{part}'])
+                 for p in ('q', 'k', 'v')], axis=0)
+    return out
+
+
 # ------------------------------------------------------------------ SVD VAE
 
 def _resnet2d(dst: str, src: str, m: NameMap, shortcut: bool):
@@ -215,6 +258,8 @@ def dit_name_map(num_layers: int = 42) -> Dict[str, object]:
         'text_proj/kernel': ('mixins.patch_embed.text_proj.weight',
                              linear_kernel),
         'text_proj/bias': ('mixins.patch_embed.text_proj.bias', None),
+        'pre_final_ln_scale': ('transformer.final_layernorm.weight', None),
+        'pre_final_ln_bias': ('transformer.final_layernorm.bias', None),
         'final_ln_scale': ('mixins.final_layer.norm_final.weight', None),
         'final_ln_bias': ('mixins.final_layer.norm_final.bias', None),
         'final_linear/kernel': ('mixins.final_layer.linear.weight',

@@ -153,7 +153,12 @@ class DiTLayer(nn.Module):
                                (c,), jnp.float32)
             bias = self.param(f'{name}_bias', nn.initializers.zeros,
                               (c,), jnp.float32)
-            return lambda x: layer_norm(x, scale, bias, eps=1e-6)
+            # eps 1e-5, NOT 1e-6: SAT builds per-layer norms as
+            # layernorm(hidden_size, eps=layernorm_epsilon) — the call-site
+            # eps=1e-5 overrides the partial's 1e-6 (transformer.py:414,
+            # dit_video_concat.py:670); only the mixin-owned norms (qk-LN,
+            # norm_final) really are 1e-6. Verified by the dit_small golden.
+            return lambda x: layer_norm(x, scale, bias, eps=1e-5)
 
         input_ln = make_ln('input_ln')
         post_ln = make_ln('post_ln')
@@ -309,6 +314,16 @@ class CogVideoDiT(nn.Module):
             for i in range(self.num_layers):
                 h_states = DiTLayer(**layer_cfg, name=f'layer_{i}')(
                     h_states, e, rope_cos, rope_sin)
+
+        # transformer-level final layernorm over the full sequence BEFORE the
+        # final-layer mixin (transformer.py:789-791; eps 1e-5 like the other
+        # transformer-owned norms) — the checkpoint's
+        # transformer.final_layernorm.{weight,bias}
+        pscale = self.param('pre_final_ln_scale', nn.initializers.ones, (c,),
+                            jnp.float32)
+        pbias = self.param('pre_final_ln_bias', nn.initializers.zeros, (c,),
+                           jnp.float32)
+        h_states = layer_norm(h_states, pscale, pbias, eps=1e-5)
 
         # final layer (dit_video_concat.py:372-410)
         img = h_states[:, self.text_length:]

@@ -33,6 +33,159 @@ def test_schedule_golden():
     np.testing.assert_allclose(ours, data['sigmas'], atol=2e-6)
 
 
+def test_causal_vae_golden_roundtrip():
+    """Tiny ContextParallelEncoder3D/Decoder3D goldens (cp_enc_dec.py:716,839
+    run on the reference's single-device fake-cp path) vs our
+    CausalEncoder3D/CausalDecoder3D through the converter."""
+    data = _golden('causal_vae.npz')
+    import json
+
+    import jax.numpy as jnp
+    from star_tpu.convert import convert_state_dict
+    from star_tpu.convert.causal_vae_map import causal_vae_name_map
+    from star_tpu.vae.causal_vae import CausalDecoder3D, CausalEncoder3D
+
+    cfg = json.loads(str(data['config_json']))
+    sd = {k[4:]: data[k] for k in data.files if k.startswith('sd::')}
+    params = convert_state_dict(
+        sd, causal_vae_name_map(ch=cfg['ch'], ch_mult=tuple(cfg['ch_mult']),
+                                num_res_blocks=cfg['num_res_blocks']))
+    kw = dict(ch=cfg['ch'], ch_mult=tuple(cfg['ch_mult']),
+              num_res_blocks=cfg['num_res_blocks'],
+              z_channels=cfg['z_channels'],
+              temporal_compress_level=cfg['temporal_compress_level'],
+              dtype=jnp.float32)
+
+    to_ours = lambda a: np.transpose(a, (0, 2, 3, 4, 1))  # BCTHW -> BTHWC
+    enc = CausalEncoder3D(**kw)
+    moments = enc.apply({'params': params['encoder']},
+                        jnp.asarray(to_ours(data['x'])))
+    np.testing.assert_allclose(np.asarray(moments), to_ours(data['moments']),
+                               atol=5e-3)
+
+    dec = CausalDecoder3D(**kw)
+    rec = dec.apply({'params': params['decoder']},
+                    jnp.asarray(to_ours(data['z'])))
+    np.testing.assert_allclose(np.asarray(rec), to_ours(data['rec']),
+                               atol=5e-3)
+
+
+def test_dit_golden_forward():
+    """Scaled-down reference DiffusionTransformer (dit_video_concat.py over
+    the repo's patched SAT transformer.py, run via the single-GPU sat stub)
+    vs CogVideoDiT through convert_dit. Covers patch embed, 3D RoPE, the
+    qk-LN->rotary hook chain, adaLN-Zero text/img split, LIEM gates, and the
+    transformer final_layernorm (eps 1e-5) + FinalLayerMixin unpatchify."""
+    data = _golden('dit_small.npz')
+    import json
+
+    import jax.numpy as jnp
+    from star_tpu.convert.tower_maps import convert_dit
+    from star_tpu.models.dit.dit import CogVideoDiT
+
+    cfg = json.loads(str(data['config_json']))
+    sd = {k[4:]: data[k] for k in data.files if k.startswith('sd::')}
+    params = convert_dit(sd, num_layers=cfg['num_layers'])
+    model = CogVideoDiT(hidden_size=cfg['hidden_size'],
+                        num_layers=cfg['num_layers'],
+                        num_heads=cfg['num_attention_heads'],
+                        patch_size=cfg['patch_size'],
+                        latent_channels=cfg['in_channels'],
+                        text_hidden_size=cfg['text_hidden_size'],
+                        text_length=cfg['text_length'],
+                        time_embed_dim=cfg['time_embed_dim'],
+                        dtype=jnp.float32)
+    to_ours = lambda a: np.transpose(a, (0, 1, 3, 4, 2))  # btchw -> bthwc
+    out = model.apply({'params': params}, jnp.asarray(to_ours(data['x'])),
+                      jnp.asarray(data['timesteps']),
+                      jnp.asarray(data['context']))
+    np.testing.assert_allclose(np.asarray(out), to_ours(data['out']),
+                               atol=5e-3)
+
+
+def test_vpsde_sampler_golden_trajectory(monkeypatch):
+    """Reference VPSDEDPMPP2MSampler 12-step zero-noise trajectory with a
+    closed-form mock denoiser (sampling.py:574-685, DynamicCFG, ZeroSNR
+    ladder) vs sample_vpsde_dpmpp_2m with the SDE noise patched to zero."""
+    data = _golden('vpsde_sampler.npz')
+    import jax
+    import jax.numpy as jnp
+    from star_tpu.diffusion.vpsde_sampler import (sample_vpsde_dpmpp_2m,
+                                                  vpsde_dpmpp_2m_ladder)
+    from star_tpu.diffusion.zero_snr import ZeroSNRDDPMDiscretization
+
+    n = int(data['num_steps'])
+    disc = ZeroSNRDDPMDiscretization()
+    ladder, t_for_step = vpsde_dpmpp_2m_ladder(disc, n)
+    np.testing.assert_allclose(ladder, data['ladder'], atol=1e-6)
+    ts = np.asarray(data['timesteps'])
+    np.testing.assert_array_equal(
+        t_for_step, np.concatenate([[-1], ts])[::-1][:n])
+
+    def denoise_fn(x, t, a, scale):
+        u = jnp.tanh(x) * a - 0.2
+        c = jnp.tanh(x) * a + 0.3
+        return u + scale * (c - u)
+
+    monkeypatch.setattr(
+        jax.random, 'normal',
+        lambda k, shape, dtype=jnp.float32: jnp.zeros(shape, dtype))
+    out = sample_vpsde_dpmpp_2m(denoise_fn, jnp.asarray(data['x0']), disc, n,
+                                jax.random.PRNGKey(0))
+    np.testing.assert_allclose(np.asarray(out), data['out'], atol=1e-4)
+
+
+def test_t5_golden_forward():
+    """Tiny HF T5EncoderModel golden (the class both reference text paths
+    wrap) vs our T5Encoder through t5_encoder_name_map."""
+    data = _golden('t5_small.npz')
+    import json
+
+    import jax.numpy as jnp
+    from star_tpu.convert import convert_state_dict
+    from star_tpu.convert.tower_maps import t5_encoder_name_map
+    from star_tpu.models.t5.encoder import T5Encoder
+
+    cfg = json.loads(str(data['config_json']))
+    sd = {k[4:]: data[k] for k in data.files if k.startswith('sd::')}
+    params = convert_state_dict(
+        sd, t5_encoder_name_map(num_layers=cfg['num_layers']))
+    model = T5Encoder(vocab_size=cfg['vocab_size'], d_model=cfg['d_model'],
+                      d_ff=cfg['d_ff'], num_heads=cfg['num_heads'],
+                      num_layers=cfg['num_layers'],
+                      rel_buckets=cfg['rel_buckets'],
+                      rel_max_distance=cfg['rel_max_distance'],
+                      dtype=jnp.float32)
+    out = model.apply({'params': params}, jnp.asarray(data['tokens']))
+    np.testing.assert_allclose(np.asarray(out), data['out'], atol=2e-4)
+
+
+def test_clip_text_golden_forward():
+    """Tiny HF CLIPTextModel golden (penultimate + final LN, the
+    FrozenOpenCLIPEmbedder semantics) vs our CLIPTextEncoder through
+    hf_clip_text_to_open_clip_sd + clip_text_name_map."""
+    data = _golden('clip_text.npz')
+    import json
+
+    import jax.numpy as jnp
+    from star_tpu.convert import convert_state_dict
+    from star_tpu.convert.tower_maps import (clip_text_name_map,
+                                             hf_clip_text_to_open_clip_sd)
+    from star_tpu.models.clip.text import CLIPTextEncoder
+
+    cfg = json.loads(str(data['config_json']))
+    sd = hf_clip_text_to_open_clip_sd(
+        {k[4:]: data[k] for k in data.files if k.startswith('sd::')})
+    params = convert_state_dict(
+        sd, clip_text_name_map(layers=cfg['layers'], penultimate=True))
+    model = CLIPTextEncoder(vocab_size=cfg['vocab_size'], width=cfg['width'],
+                            heads=cfg['heads'], layers=cfg['layers'],
+                            context_length=cfg['context_length'],
+                            penultimate=True, dtype=jnp.float32)
+    out = model.apply({'params': params}, jnp.asarray(data['tokens']))
+    np.testing.assert_allclose(np.asarray(out), data['out'], atol=2e-4)
+
+
 def test_unet_golden_forward():
     data = _golden('unet_small.npz')
     import json

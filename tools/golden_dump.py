@@ -127,9 +127,244 @@ def dump_unet_small(ref_root: str, out_dir: str):
                       context_dim=TINY_UNET['context_dim']))
 
 
+# ch must be a multiple of 32 (GroupNorm(32) everywhere)
+TINY_VAE = dict(ch=32, ch_mult=[1, 2], num_res_blocks=1,
+                attn_resolutions=[], in_channels=3, out_ch=3, resolution=32,
+                z_channels=4, double_z=True, dropout=0.0,
+                temporal_compress_times=2)
+
+
+def dump_causal_vae(ref_root: str, out_dir: str):
+    """Scaled-down ContextParallelEncoder3D / Decoder3D round trip on a
+    5-frame clip (odd t exercises the first-frame-special temporal
+    down/upsampling). Encoder gather_norm=True / decoder False, matching
+    cogvideox_5b_infer_sr.yaml:113-141. CP is uninitialized, so the reference
+    runs its single-device fake-cp path — the semantics our single-device
+    CausalEncoder3D/CausalDecoder3D mirror."""
+    import torch
+    _setup_paths(ref_root)
+    sat_root = os.path.join(ref_root, 'cogvideox-based', 'sat')
+    if sat_root not in sys.path:
+        sys.path.insert(0, sat_root)
+    torch.manual_seed(0)
+    # the reference's fake-cp path still queries the (gloo) process group +
+    # CP bookkeeping even single-device (cp_enc_dec.py:246-252, sgm/util.py:51)
+    import sgm.util as sgm_util
+    if not torch.distributed.is_initialized():
+        torch.distributed.init_process_group(
+            'gloo', rank=0, world_size=1,
+            init_method='tcp://127.0.0.1:29511')
+    if not sgm_util.is_context_parallel_initialized():
+        sgm_util.initialize_context_parallel(1)
+    from vae_modules.cp_enc_dec import (ContextParallelDecoder3D,
+                                        ContextParallelEncoder3D)
+    enc = ContextParallelEncoder3D(**TINY_VAE, gather_norm=True).float().eval()
+    dec = ContextParallelDecoder3D(**TINY_VAE, gather_norm=False).float().eval()
+    _perturb_(enc, seed=4)
+    _perturb_(dec, seed=5)
+
+    g = torch.Generator().manual_seed(6)
+    x = torch.randn(1, 3, 5, 32, 32, generator=g)  # [B, C, T, H, W]
+    with torch.no_grad():
+        moments = enc(x)
+        z = moments[:, :TINY_VAE['z_channels']]  # mean half
+        rec = dec(z)
+    _save(out_dir, 'causal_vae',
+          dict(x=x.numpy(), moments=moments.numpy(), z=z.numpy(),
+               rec=rec.numpy()),
+          state_dict={**{f'encoder.{k}': v for k, v in
+                         enc.state_dict().items()},
+                      **{f'decoder.{k}': v for k, v in
+                         dec.state_dict().items()}},
+          config=dict(ch=TINY_VAE['ch'], ch_mult=TINY_VAE['ch_mult'],
+                      num_res_blocks=TINY_VAE['num_res_blocks'],
+                      z_channels=TINY_VAE['z_channels'],
+                      temporal_compress_level=1))
+
+
+def dump_t5_small(ref_root: str, out_dir: str):
+    """Tiny HF T5EncoderModel (the exact class both reference text paths
+    wrap: video_to_video/modules/t5.py:29, sgm encoders modules.py:248) with
+    random weights; no attention mask, matching the reference's no-mask call
+    (SURVEY §2.2 quirk). d_kv = d_model/num_heads as in t5-v1_1-xxl."""
+    import torch
+    from transformers import T5Config, T5EncoderModel
+    torch.manual_seed(0)
+    cfg = T5Config(vocab_size=128, d_model=64, d_kv=16, d_ff=160,
+                   num_layers=3, num_heads=4, relative_attention_num_buckets=8,
+                   relative_attention_max_distance=20, dropout_rate=0.0,
+                   feed_forward_proj='gated-gelu', is_encoder_decoder=False,
+                   use_cache=False, tie_word_embeddings=False)
+    model = T5EncoderModel(cfg).float().eval()
+    g = torch.Generator().manual_seed(7)
+    tokens = torch.randint(0, 128, (2, 11), generator=g)
+    with torch.no_grad():
+        out = model(input_ids=tokens).last_hidden_state
+    _save(out_dir, 't5_small',
+          dict(tokens=tokens.numpy(), out=out.numpy()),
+          state_dict=model.state_dict(),
+          config=dict(vocab_size=128, d_model=64, d_ff=160, num_heads=4,
+                      num_layers=3, rel_buckets=8, rel_max_distance=20))
+
+
+def dump_clip_text(ref_root: str, out_dir: str):
+    """Tiny HF CLIPTextModel with random weights; penultimate hidden state +
+    final LN, reproducing FrozenOpenCLIPEmbedder's 'penultimate' semantics
+    (embedder.py:54-72). HF and open_clip share the architecture (laion ViT-H
+    ships in both formats); the state dict is saved HF-style and the test
+    routes it through hf_clip_text_to_open_clip_sd + clip_text_name_map."""
+    import torch
+    from transformers import CLIPTextConfig, CLIPTextModel
+    torch.manual_seed(0)
+    layers = 3
+    cfg = CLIPTextConfig(vocab_size=96, hidden_size=64,
+                         intermediate_size=256, num_hidden_layers=layers,
+                         num_attention_heads=4, max_position_embeddings=16,
+                         hidden_act='gelu', attention_dropout=0.0)
+    model = CLIPTextModel(cfg).float().eval()
+    g = torch.Generator().manual_seed(8)
+    tokens = torch.randint(0, 96, (2, 16), generator=g)
+    with torch.no_grad():
+        hs = model(input_ids=tokens, output_hidden_states=True).hidden_states
+        pen = hs[-2]  # stop one block before the end
+        out = model.text_model.final_layer_norm(pen)
+    _save(out_dir, 'clip_text',
+          dict(tokens=tokens.numpy(), out=out.numpy()),
+          state_dict=model.state_dict(),
+          config=dict(vocab_size=96, width=64, heads=4, layers=layers,
+                      context_length=16))
+
+
+def dump_vpsde(ref_root: str, out_dir: str):
+    """Reference VPSDEDPMPP2MSampler (sampling.py:574-685) + ZeroSNR
+    discretizer + DynamicCFG, run end-to-end with a closed-form mock denoiser
+    and torch.randn_like patched to zeros — a deterministic 12-step
+    trajectory golden covering the ladder, timestep indexing, DynamicCFG
+    schedule and both multistep update branches."""
+    import torch
+    _setup_paths(ref_root)
+    sat_root = os.path.join(ref_root, 'cogvideox-based', 'sat')
+    if sat_root not in sys.path:
+        sys.path.insert(0, sat_root)
+    from sgm.modules.diffusionmodules.sampling import VPSDEDPMPP2MSampler
+
+    n = 12
+    sampler = VPSDEDPMPP2MSampler(
+        discretization_config={
+            'target':
+                'sgm.modules.diffusionmodules.discretizer.'
+                'ZeroSNRDDPMDiscretization',
+            'params': {}},
+        guider_config={
+            'target': 'sgm.modules.diffusionmodules.guiders.DynamicCFG',
+            'params': {'scale': 6.0, 'exp': 5.0, 'num_steps': n}},
+        num_steps=n, device='cpu', verbose=False)
+
+    def denoiser(x, sigma, cond, **kw):
+        s = sigma.reshape(-1, 1, 1, 1, 1).float()
+        return torch.tanh(x) * s + cond['crossattn'].reshape(-1, 1, 1, 1, 1)
+
+    g = torch.Generator().manual_seed(9)
+    x0 = torch.randn(1, 2, 4, 8, 8, generator=g)
+    cond = {'crossattn': torch.tensor([0.3])}
+    uc = {'crossattn': torch.tensor([-0.2])}
+
+    real_randn_like = torch.randn_like
+    torch.randn_like = lambda t, **kw: torch.zeros_like(t)
+    try:
+        with torch.no_grad():
+            out = sampler(denoiser, x0.clone(), cond, uc=uc, scale=None)
+    finally:
+        torch.randn_like = real_randn_like
+
+    acs, timesteps = sampler.discretization(
+        n, device='cpu', return_idx=True, do_append_zero=False)
+    _save(out_dir, 'vpsde_sampler',
+          dict(x0=x0.numpy(), out=out.numpy(),
+               ladder=torch.cat(
+                   [acs, acs.new_ones([1])]).numpy(),
+               timesteps=__import__('numpy').asarray(timesteps),
+               num_steps=__import__('numpy').asarray(n)))
+
+
+TINY_DIT = dict(num_frames=9, time_compressed_rate=4, latent_width=8,
+                latent_height=8, patch_size=2, in_channels=8, out_channels=8,
+                hidden_size=64, num_layers=2, num_attention_heads=4,
+                time_embed_dim=32, text_length=5, text_hidden_size=12)
+
+
+def dump_dit(ref_root: str, out_dir: str):
+    """Scaled-down DiffusionTransformer (dit_video_concat.py:636-831) forward
+    on the reference's own patched SAT transformer
+    (cogvideox-based/transformer.py, incl. LIEM), using the single-GPU sat
+    stub package. Covers patch embed, 3D RoPE, qk-LN -> rotary hook chain,
+    adaLN-Zero with split text/img modulation, LIEM gates, the transformer
+    final_layernorm and FinalLayerMixin unpatchify."""
+    import torch
+    _setup_paths(ref_root)
+    sat_root = os.path.join(ref_root, 'cogvideox-based', 'sat')
+    if sat_root not in sys.path:
+        sys.path.insert(0, sat_root)
+    torch.manual_seed(0)
+    from types import SimpleNamespace
+
+    from dit_video_concat import DiffusionTransformer
+
+    c = TINY_DIT
+    targs = SimpleNamespace(
+        checkpoint_activations=False, vocab_size=1, max_sequence_length=64,
+        layernorm_order='pre', skip_init=False, model_parallel_size=1,
+        is_decoder=False, hidden_dropout=0.0, attention_dropout=0.0,
+        parallel_output=True)
+    model = DiffusionTransformer(
+        targs, num_frames=c['num_frames'],
+        time_compressed_rate=c['time_compressed_rate'],
+        latent_width=c['latent_width'], latent_height=c['latent_height'],
+        patch_size=c['patch_size'], in_channels=c['in_channels'],
+        out_channels=c['out_channels'], hidden_size=c['hidden_size'],
+        num_layers=c['num_layers'],
+        num_attention_heads=c['num_attention_heads'],
+        elementwise_affine=True, time_embed_dim=c['time_embed_dim'],
+        modules={
+            'pos_embed_config': {
+                'target': 'dit_video_concat.Rotary3DPositionEmbeddingMixin',
+                'params': {'hidden_size_head':
+                           c['hidden_size'] // c['num_attention_heads'],
+                           'text_length': c['text_length']}},
+            'patch_embed_config': {
+                'target': 'dit_video_concat.ImagePatchEmbeddingMixin',
+                'params': {'text_hidden_size': c['text_hidden_size']}},
+            'adaln_layer_config': {
+                'target': 'dit_video_concat.AdaLNMixin',
+                'params': {'qk_ln': True}},
+            'final_layer_config': {
+                'target': 'dit_video_concat.FinalLayerMixin'},
+        }).float().eval()
+    _perturb_(model, seed=10)
+
+    g = torch.Generator().manual_seed(11)
+    t_lat = (c['num_frames'] - 1) // c['time_compressed_rate'] + 1
+    x = torch.randn(1, t_lat, 2 * c['in_channels'], c['latent_height'],
+                    c['latent_width'], generator=g)  # [b, t, 2c, h, w]
+    timesteps = torch.tensor([499.0])
+    context = torch.randn(1, c['text_length'], c['text_hidden_size'],
+                          generator=g)
+    with torch.no_grad():
+        out = model(x, timesteps=timesteps, context=context)
+    _save(out_dir, 'dit_small',
+          dict(x=x.numpy(), timesteps=timesteps.numpy(),
+               context=context.numpy(), out=out.numpy()),
+          state_dict=model.state_dict(), config=dict(c))
+
+
 DUMPS = {
     'schedule': dump_schedule,
     'unet_small': dump_unet_small,
+    'causal_vae': dump_causal_vae,
+    't5_small': dump_t5_small,
+    'clip_text': dump_clip_text,
+    'vpsde_sampler': dump_vpsde,
+    'dit_small': dump_dit,
 }
 
 
