@@ -45,7 +45,12 @@ def main():
     hint = jnp.zeros((2 * b, f, h, w, 4), jnp.bfloat16)
 
     shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0), x, t, y, hint)
-    params = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+    # bf16 weights, like deployment (pipeline/build.make_bundle(param_dtype=
+    # bf16)): flax's fp32 param default doubles the weight-streaming traffic
+    # and injects converts — profiled at >2x the whole device step (r2 trace)
+    params = jax.tree.map(
+        lambda s: jnp.zeros(s.shape, jnp.bfloat16
+                            if s.dtype == jnp.float32 else s.dtype), shapes)
     params = jax.device_put(params)
 
     fwd = jax.jit(lambda p, x, t, y, hint: model.apply(p, x, t, y, hint))

@@ -1,0 +1,115 @@
+"""Profile the bench CFG-denoise step on the TPU and print a per-HLO-category
+device-time breakdown (uses utils.profiling.trace + xprof xplane parsing).
+
+Run on the real chip (background; compile through the tunnel is slow):
+    python tools/profile_bench.py [--iters 3] [--out /tmp/star_trace]
+"""
+
+from __future__ import annotations
+
+import argparse
+import collections
+import glob
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def classify(op_name: str) -> str:
+    n = op_name.lower()
+    if 'conv' in n:
+        return 'convolution'
+    if 'dot' in n or 'gemm' in n or 'matmul' in n:
+        return 'matmul'
+    if 'custom-call' in n or 'custom_call' in n:
+        return 'custom-call (pallas)'
+    if 'fusion' in n:
+        return 'fusion (elementwise/reduce)'
+    if 'copy' in n or 'transpose' in n:
+        return 'copy/transpose'
+    if 'reduce' in n:
+        return 'reduce'
+    if 'convert' in n:
+        return 'convert'
+    if 'all-reduce' in n or 'all-gather' in n or 'collective' in n:
+        return 'collective'
+    return 'other'
+
+
+def parse_xplane(trace_dir: str):
+    """Sum device op durations from the xplane protobuf by op name."""
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+    paths = glob.glob(os.path.join(trace_dir, '**', '*.xplane.pb'),
+                      recursive=True)
+    assert paths, f'no xplane.pb under {trace_dir}'
+    totals = collections.Counter()
+    by_op = collections.Counter()
+    for path in paths:
+        xspace = xplane_pb2.XSpace()
+        with open(path, 'rb') as fh:
+            xspace.ParseFromString(fh.read())
+        for plane in xspace.planes:
+            if 'TPU' not in plane.name and 'device' not in plane.name.lower():
+                continue
+            ev_meta = plane.event_metadata
+            for line in plane.lines:
+                # XLA Ops lines carry per-HLO events
+                if 'XLA Ops' not in line.name and 'Ops' not in line.name:
+                    continue
+                for ev in line.events:
+                    name = ev_meta[ev.metadata_id].name
+                    dur_us = ev.duration_ps / 1e6
+                    totals[classify(name)] += dur_us
+                    by_op[name] += dur_us
+    return totals, by_op
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--iters', type=int, default=3)
+    ap.add_argument('--out', default='/tmp/star_trace')
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from star_tpu.models.unet.unet import ControlledV2VUNet
+    from star_tpu.utils.cache import enable_compile_cache
+    from star_tpu.utils.profiling import sync, trace
+    enable_compile_cache()
+
+    print('[t] build', flush=True)
+    model = ControlledV2VUNet(dtype=jnp.bfloat16)
+    b, f, h, w = 1, 8, 90, 160
+    x = jnp.zeros((2 * b, f, h, w, 4), jnp.bfloat16)
+    t = jnp.full((2 * b,), 899, jnp.int32)
+    y = jnp.zeros((2 * b, 77, 1024), jnp.bfloat16)
+    hint = jnp.zeros((2 * b, f, h, w, 4), jnp.bfloat16)
+    shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0), x, t, y, hint)
+    params = jax.device_put(
+        jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes))
+    fwd = jax.jit(lambda p, *a: model.apply(p, *a))
+
+    print('[t] compile+warm', flush=True)
+    for _ in range(2):
+        sync(fwd(params, x, t, y, hint))
+    print('[t] trace', flush=True)
+    with trace(args.out):
+        for _ in range(args.iters):
+            sync(fwd(params, x, t, y, hint))
+
+    print('[t] parse', flush=True)
+    totals, by_op = parse_xplane(args.out)
+    n = args.iters
+    print(json.dumps({k: round(v / 1e3 / n, 2) for k, v in
+                      totals.most_common()}, indent=1))
+    print('--- top 25 ops (ms/step) ---')
+    for name, us in by_op.most_common(25):
+        print(f'{us / 1e3 / n:9.2f}  {name}')
+
+
+if __name__ == '__main__':
+    main()
