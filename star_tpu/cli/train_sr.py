@@ -42,8 +42,38 @@ def parse_args():
     p.add_argument('--resume', action='store_true')
     p.add_argument('--freq_loss', action='store_true', default=True)
     p.add_argument('--allow_random_weights', action='store_true')
-    p.add_argument('--data_parallel', type=int, default=1)
+    p.add_argument('--data_parallel', type=int, default=1,
+                   help='mesh data axis; global batch = batch_size * this '
+                        '(reference: torchrun x8, bs 1/device)')
+    p.add_argument('--tensor_parallel', type=int, default=1,
+                   help='mesh tensor axis (Megatron-style head/MLP sharding)')
+    p.add_argument('--ema_decay', type=float, default=0.0,
+                   help='EMA of params; reference default 0.9999, 0 = off')
     return p.parse_args()
+
+
+def collect_samples(it, reset, n):
+    """Pull n samples from the (cycling) dataset iterator.
+
+    Fixes the round-1 defect where the loop always built a batch of 1 and
+    could not shard it over data_parallel>1. `reset` re-creates the iterator
+    at epoch end. Returns (samples, it)."""
+    out = []
+    while len(out) < n:
+        try:
+            out.append(next(it))
+        except StopIteration:
+            it = reset()
+    return out, it
+
+
+def stack_batch(samples):
+    """Stack per-sample dicts into batched arrays (host-side numpy)."""
+    import numpy as np
+    gt = np.stack([s['gt'] for s in samples])
+    lq = np.stack([s['lq'] for s in samples])
+    texts = [s['text'] for s in samples]
+    return gt, lq, texts
 
 
 def main():
@@ -81,10 +111,11 @@ def main():
                                 '--allow_random_weights for a smoke run')
     bundle = make_bundle(models)
 
-    mesh = make_mesh(data=args.data_parallel)
+    mesh = make_mesh(data=args.data_parallel, tensor=args.tensor_parallel)
     cfg = TrainConfig(learning_rate=args.learning_rate,
                       max_grad_norm=args.max_grad_norm,
-                      freq_loss=args.freq_loss)
+                      freq_loss=args.freq_loss,
+                      ema_decay=args.ema_decay)
     with mesh:
         params = shard_params(models.unet_params, mesh)
         state, tx = make_train_state(cfg, params)
@@ -120,18 +151,16 @@ def main():
 
         it = iter(ds)
         t_last = time.time()
+        global_batch = args.batch_size * args.data_parallel
         for step in range(start_step, args.max_train_steps):
-            try:
-                sample = next(it)
-            except StopIteration:
-                it = iter(ds)
-                sample = next(it)
-            gt = jnp.asarray(sample['gt'])[None]
-            lq = jnp.asarray(sample['lq'])[None]
+            samples, it = collect_samples(it, lambda: iter(ds), global_batch)
+            gt_np, lq_np, texts = stack_batch(samples)
+            gt = jax.device_put(jnp.asarray(gt_np), batch_sh)
+            lq = jax.device_put(jnp.asarray(lq_np), batch_sh)
             k_enc, k_step, key = jax.random.split(key, 3)
             gt_lat = bundle.vae_encode(bundle.params['vae'], gt, k_enc)
             lq_lat = bundle.vae_encode(bundle.params['vae'], lq, None)
-            tokens = jnp.asarray(bundle.tokenizer([sample['text']]))
+            tokens = jnp.asarray(bundle.tokenizer(texts))
             y = bundle.text_encode(bundle.params['text'], tokens)
             batch = {'gt_latent': jax.device_put(gt_lat, batch_sh),
                      'lq_latent': jax.device_put(lq_lat, batch_sh),

@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ...ops.attention import dot_product_attention
 from ...ops.norms import layer_norm
@@ -133,6 +134,11 @@ class DiTLayer(nn.Module):
     width: int
     lora_rank: int = 0
     dtype: jnp.dtype = jnp.float32
+    # Ulysses sequence parallelism (opt-in): shard the token dim over
+    # `sp_axis` of `sp_mesh`; attention swaps seq<->heads via all_to_all
+    # (reference consumer: opensora/models/layers/blocks.py:345-423)
+    sp_mesh: Optional[Mesh] = None
+    sp_axis: str = 'context'
 
     @nn.compact
     def __call__(self, h_states: jax.Array, emb: jax.Array,
@@ -173,8 +179,16 @@ class DiTLayer(nn.Module):
         # LIEM on the modulated image stream (dit_video_concat.py:523-533)
         bt = b * self.t_size
         spa = img_in.reshape(b, self.t_size, self.height, self.width, c)
-        spa = SpatialLIEMTokens(dtype=self.dtype, name='spa_local')(
-            spa.reshape(bt, self.height, self.width, c))
+        _spa_in = spa.reshape(bt, self.height, self.width, c)
+        if self.sp_mesh is not None and self.sp_mesh.shape[self.sp_axis] > 1:
+            # pin the 7x7 LIEM conv input replicated: XLA's spatially
+            # partitioned conv produced wrong halos for seq-sharded inputs
+            # inside nn.scan (observed at context=4 on the CPU mesh); the
+            # gate conv is 2ch->1ch and cheap, the gather is one layer's
+            # image tokens — same order as the Ulysses all_to_alls
+            _spa_in = jax.lax.with_sharding_constraint(
+                _spa_in, NamedSharding(self.sp_mesh, P()))
+        spa = SpatialLIEMTokens(dtype=self.dtype, name='spa_local')(_spa_in)
         spa = spa.reshape(b, self.t_size, self.height, self.width, c)
         tmp = spa.transpose(0, 2, 3, 1, 4).reshape(
             b * self.height * self.width, self.t_size, c)
@@ -204,7 +218,17 @@ class DiTLayer(nn.Module):
         k = jnp.concatenate([k[:, :tl], apply_rope(k[:, tl:], rope_cos,
                                                    rope_sin)], axis=1)
 
-        attn = dot_product_attention(q, k, v).reshape(b, s, self.hidden_size)
+        sp_n = (self.sp_mesh.shape[self.sp_axis]
+                if self.sp_mesh is not None else 1)
+        if sp_n > 1:
+            assert s % sp_n == 0 and self.num_heads % sp_n == 0, (
+                f'Ulysses SP needs seq ({s}) and heads ({self.num_heads}) '
+                f'divisible by the {self.sp_axis!r} axis size {sp_n}')
+            from ...parallel.ulysses import ulysses_attention
+            attn = ulysses_attention(q, k, v, self.sp_mesh, self.sp_axis)
+        else:
+            attn = dot_product_attention(q, k, v)
+        attn = attn.reshape(b, s, self.hidden_size)
         attn = LoraDense(self.hidden_size, self.lora_rank, dtype=self.dtype,
                          name='dense')(attn)
 
@@ -237,6 +261,8 @@ class _DiTScanCell(nn.Module):
     width: int
     lora_rank: int = 0
     dtype: jnp.dtype = jnp.float32
+    sp_mesh: Optional[Mesh] = None
+    sp_axis: str = 'context'
 
     @nn.compact
     def __call__(self, carry, _):
@@ -245,6 +271,7 @@ class _DiTScanCell(nn.Module):
                      text_length=self.text_length, t_size=self.t_size,
                      height=self.height, width=self.width,
                      lora_rank=self.lora_rank, dtype=self.dtype,
+                     sp_mesh=self.sp_mesh, sp_axis=self.sp_axis,
                      name='layer')(h, emb, cos, sin)
         return (h, emb, cos, sin), None
 
@@ -263,6 +290,11 @@ class CogVideoDiT(nn.Module):
     lora_rank: int = 0
     scan_layers: bool = True
     dtype: jnp.dtype = jnp.float32
+    # Ulysses SP opt-in for >13-latent-frame sampling: activations between
+    # layers live sequence-sharded over `sp_axis`; attention all_to_alls to
+    # head-sharded locally (parallel/ulysses.py)
+    sp_mesh: Optional[Mesh] = None
+    sp_axis: str = 'context'
 
     @nn.compact
     def __call__(self, x: jax.Array, t_idx: jax.Array,
@@ -296,7 +328,19 @@ class CogVideoDiT(nn.Module):
 
         layer_cfg = dict(hidden_size=c, num_heads=self.num_heads,
                          text_length=self.text_length, t_size=t, height=hp,
-                         width=wp, lora_rank=self.lora_rank, dtype=self.dtype)
+                         width=wp, lora_rank=self.lora_rank, dtype=self.dtype,
+                         sp_mesh=self.sp_mesh, sp_axis=self.sp_axis)
+        if self.sp_mesh is not None and self.sp_mesh.shape[self.sp_axis] > 1:
+            n = self.sp_mesh.shape[self.sp_axis]
+            s_total = self.text_length + t * hp * wp
+            assert s_total % n == 0 and self.num_heads % n == 0, (
+                f'Ulysses SP needs seq ({s_total}) and heads '
+                f'({self.num_heads}) divisible by {self.sp_axis!r}={n}')
+            # keep the residual stream sequence-sharded between layers so
+            # per-device activation memory scales 1/P (the point of SP)
+            h_states = jax.lax.with_sharding_constraint(
+                h_states, NamedSharding(self.sp_mesh,
+                                        P(None, self.sp_axis, None)))
 
         if self.scan_layers:
             # one traced layer, scanned over stacked per-layer params

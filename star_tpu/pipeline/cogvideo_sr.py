@@ -23,6 +23,7 @@ import numpy as np
 
 from ..diffusion.vpsde_sampler import sample_vpsde_dpmpp_2m
 from ..diffusion.zero_snr import ZeroSNRDDPMDiscretization
+from ..models.conditioner import GeneralConditioner, TextEmbedder
 from .color_fix import adain_color_fix
 
 
@@ -65,12 +66,21 @@ class CogVideoSRPipeline:
         self.color_fix = color_fix
         self._text_cache = {}
         self._run_cache = {}
+        # conditioning goes through the embedder registry, matching sgm's
+        # GeneralConditioner (encoders/modules.py:73-233): one T5 crossattn
+        # embedder at inference; trainers add ucg_rate for text dropout
+        self.conditioner = GeneralConditioner([
+            TextEmbedder(input_key='txt', tokenizer=models.tokenizer,
+                         encode=self._encode_tokens)])
+
+    def _encode_tokens(self, tokens: jax.Array) -> jax.Array:
+        return jax.jit(self.models.text_encode)(
+            self.models.params['text'], tokens)
 
     def encode_prompt(self, prompt: str) -> jax.Array:
         if prompt not in self._text_cache:
-            tokens = jnp.asarray(self.models.tokenizer([prompt]))
-            self._text_cache[prompt] = jax.jit(self.models.text_encode)(
-                self.models.params['text'], tokens)
+            self._text_cache[prompt] = self.conditioner(
+                {'txt': [prompt]})['crossattn']
         return self._text_cache[prompt]
 
     def _build_run(self, f: int, h: int, w: int):

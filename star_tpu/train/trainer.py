@@ -40,6 +40,8 @@ class TrainConfig:
     freq_loss: bool = True        # compute the frequency metric/loss
     freq_grad: bool = False       # reference parity: metric only
     warmup_steps: int = 0
+    ema_decay: float = 0.0        # 0 disables; reference uses 0.9999
+                                  # (opensora train_utils.py:7 update_ema)
 
 
 def is_trainable(path: str) -> bool:
@@ -59,6 +61,7 @@ class TrainState(NamedTuple):
     step: jax.Array
     params: Any
     opt_state: Any
+    ema_params: Any = None        # populated when TrainConfig.ema_decay > 0
 
 
 def make_optimizer(cfg: TrainConfig, params: Any) -> optax.GradientTransformation:
@@ -80,7 +83,12 @@ def make_optimizer(cfg: TrainConfig, params: Any) -> optax.GradientTransformatio
 def make_train_state(cfg: TrainConfig, params: Any) -> tuple[TrainState,
                                                              optax.GradientTransformation]:
     tx = make_optimizer(cfg, params)
-    return TrainState(jnp.zeros((), jnp.int32), params, tx.init(params)), tx
+    ema = None
+    if cfg.ema_decay > 0:
+        from .ema import init_ema
+        ema = init_ema(params)
+    return TrainState(jnp.zeros((), jnp.int32), params, tx.init(params),
+                      ema), tx
 
 
 def make_train_step(cfg: TrainConfig,
@@ -121,7 +129,11 @@ def make_train_step(cfg: TrainConfig,
             state.params, batch, t, noise)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        new_state = TrainState(state.step + 1, params, opt_state)
+        ema = state.ema_params
+        if cfg.ema_decay > 0 and ema is not None:
+            from .ema import update_ema
+            ema = update_ema(ema, params, cfg.ema_decay)
+        new_state = TrainState(state.step + 1, params, opt_state, ema)
         metrics = dict(metrics)
         metrics['grad_norm'] = optax.global_norm(grads)
         return new_state, metrics

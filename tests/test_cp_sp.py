@@ -67,3 +67,44 @@ def test_ulysses_rejects_indivisible_heads(eight_devices):
     with pytest.raises(AssertionError):
         with mesh:
             ulysses_attention(q, q, q, mesh)
+
+
+def test_dit_ulysses_sp_matches_unsharded(eight_devices):
+    """CogVideoDiT with sp_mesh over 'context' == the plain forward — the
+    Ulysses opt-in (VERDICT item 7; reference SP consumer:
+    opensora/models/layers/blocks.py:345-423)."""
+    from star_tpu.models.dit.dit import CogVideoDiT
+
+    kw = dict(hidden_size=64, num_layers=2, num_heads=4, patch_size=2,
+              latent_channels=4, text_hidden_size=32, text_length=8,
+              time_embed_dim=16)
+    b, t, h, w = 1, 2, 8, 8      # seq = 8 + 2*4*4 = 40, divisible by 2 and 4
+    x = jax.random.normal(jax.random.PRNGKey(0), (b, t, h, w, 8))
+    ti = jnp.array([5], jnp.int32)
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (b, 8, 32))
+
+    plain = CogVideoDiT(**kw)
+    params = plain.init(jax.random.PRNGKey(2), x, ti, ctx)
+    expect = plain.apply(params, x, ti, ctx)
+
+    mesh = make_mesh(context=4)
+    sp = CogVideoDiT(**kw, sp_mesh=mesh, sp_axis='context')
+    with mesh:
+        got = jax.jit(sp.apply)(params, x, ti, ctx)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expect),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_dit_sp_rejects_indivisible_seq(eight_devices):
+    from star_tpu.models.dit.dit import CogVideoDiT
+
+    mesh = make_mesh(context=4)
+    # seq = 7 + 2*4*4 = 39, not divisible by 4
+    sp = CogVideoDiT(hidden_size=64, num_layers=1, num_heads=4, patch_size=2,
+                     latent_channels=4, text_hidden_size=32, text_length=7,
+                     time_embed_dim=16, sp_mesh=mesh)
+    x = jnp.zeros((1, 2, 8, 8, 8))
+    with pytest.raises(AssertionError, match='Ulysses'):
+        with mesh:
+            sp.init(jax.random.PRNGKey(0), x, jnp.zeros((1,), jnp.int32),
+                    jnp.zeros((1, 7, 32)))
