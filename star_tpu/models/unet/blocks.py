@@ -148,8 +148,12 @@ class SpatialTransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, context: jax.Array, h: int,
-                 w: int) -> jax.Array:
-        # x: [BF, HW, C]; context: [BF, L, Cc]
+                 w: int, cfg_split: bool = False) -> jax.Array:
+        # x: [BF, HW, C]; context: [BF, L, Cc].
+        # cfg_split: x carries ONE copy of a CFG pair (context carries both);
+        # the streams are identical until this cross-attention, so the gate/
+        # self-attn prefix runs at half batch and is tiled here (the
+        # reference runs the full pair end to end, diffusion_sdedit.py:44-115)
         bf = x.shape[0]
         x_local = x.reshape(bf, h, w, self.dim)
         x_local = SpatialLIEM(dtype=self.dtype, name='local1')(x_local)
@@ -158,6 +162,8 @@ class SpatialTransformerBlock(nn.Module):
         x = Attention(self.num_heads, self.head_dim, self.dim,
                       dtype=self.dtype, name='attn1')(
                           LayerNorm(name='norm1')(x_local)) + x
+        if cfg_split:
+            x = jnp.concatenate([x, x], axis=0)
         x = Attention(self.num_heads, self.head_dim, self.dim,
                       dtype=self.dtype, name='attn2')(
                           LayerNorm(name='norm2')(x), context) + x
@@ -202,8 +208,9 @@ class SpatialTransformer(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, context: jax.Array) -> jax.Array:
-        # x: [BF, H, W, C]; context: [BF, L, Cc]
+    def __call__(self, x: jax.Array, context: jax.Array,
+                 cfg_split: bool = False) -> jax.Array:
+        # x: [BF, H, W, C]; context: [BF, L, Cc] (or [2BF, ...] if cfg_split)
         bf, h, w, c = x.shape
         inner = self.num_heads * self.head_dim
         x_in = x
@@ -212,10 +219,12 @@ class SpatialTransformer(nn.Module):
         x = nn.Dense(inner, dtype=self.dtype, name='proj_in')(x)
         x = SpatialTransformerBlock(inner, self.num_heads, self.head_dim,
                                     dtype=self.dtype, name='block')(
-                                        x, context, h, w)
+                                        x, context, h, w, cfg_split)
         x = nn.Dense(c, dtype=self.dtype, name='proj_out',
                      kernel_init=nn.initializers.zeros)(x)
-        return x.reshape(bf, h, w, c) + x_in
+        if cfg_split:
+            x_in = jnp.concatenate([x_in, x_in], axis=0)
+        return x.reshape(-1, h, w, c) + x_in
 
 
 class TemporalAttentionInplace(nn.Module):

@@ -53,7 +53,12 @@ class VideoUNetTrunk(nn.Module):
     def __call__(self, x: jax.Array, t: jax.Array, y: jax.Array,
                  hint: Optional[jax.Array] = None,
                  controls: Optional[Tuple[jax.Array, ...]] = None,
-                 deterministic: bool = True):
+                 deterministic: bool = True, cfg_pair: bool = False):
+        # cfg_pair: x/t/hint carry ONE copy of a CFG pair while y carries
+        # both halves ([2B, ...], uncond layout decided by the caller). The
+        # cond/uncond streams are bit-identical until the first text
+        # cross-attention, so everything before it runs at half batch and is
+        # tiled at the split point (incl. skip taps / control residuals).
         b, f, hh, ww, cin = x.shape
         dim, hd = self.dim, self.head_dim
         embed_dim = dim * 4
@@ -65,20 +70,33 @@ class VideoUNetTrunk(nn.Module):
         e = nn.Dense(embed_dim, dtype=jnp.float32, name='time_embed_2')(e)
         e = jnp.repeat(e.astype(self.dtype), f, axis=0)        # [BF, E]
         context = jnp.repeat(y.astype(self.dtype), f, axis=0)  # [BF, L, Cc]
+        if cfg_pair:
+            assert y.shape[0] == 2 * b, (y.shape, b)
 
         x = x.astype(self.dtype).reshape(b * f, hh, ww, cin)
 
         # remat: recompute block activations in the backward pass
         # (unet_v2v.py:1639 wraps every block in fairscale checkpoint_wrapper)
-        SpatialTx = (nn.remat(SpatialTransformer) if self.remat
-                     else SpatialTransformer)
+        SpatialTx = (nn.remat(SpatialTransformer, static_argnums=(3,))
+                     if self.remat else SpatialTransformer)
         TemporalTx = (nn.remat(TemporalTransformer) if self.remat
                       else TemporalTransformer)
         Res = (nn.remat(ResBlock, static_argnums=(3, 4)) if self.remat
                else ResBlock)
 
-        def spatial_tx(c, name):
-            return SpatialTx(c, c // hd, hd, dtype=self.dtype, name=name)
+        split_pending = cfg_pair
+
+        def run_spatial(c, name, x):
+            nonlocal split_pending, e, xs
+            mod = SpatialTx(c, c // hd, hd, dtype=self.dtype, name=name)
+            if split_pending:
+                x = mod(x, context, True)
+                # the pair diverges here: everything downstream runs at 2B
+                split_pending = False
+                e = jnp.concatenate([e, e], axis=0)
+                xs = [jnp.concatenate([s, s], axis=0) for s in xs]
+                return x
+            return mod(x, context)
 
         def temporal_tx(c, name, num_heads=None):
             nheads = (c // hd) if num_heads is None else num_heads
@@ -86,7 +104,7 @@ class VideoUNetTrunk(nn.Module):
 
         def run_temporal(mod, x):
             bf = x.shape[0]
-            x5 = x.reshape(b, bf // b, *x.shape[1:])
+            x5 = x.reshape(-1, f, *x.shape[1:])
             x5 = mod(x5)
             return x5.reshape(bf, *x.shape[1:])
 
@@ -128,7 +146,7 @@ class VideoUNetTrunk(nn.Module):
                              name=f'enc_{i}_{j}_res')(
                                  x, e, f, deterministic)
                 if scale in self.attn_scales:
-                    x = spatial_tx(out_d, f'enc_{i}_{j}_spatial')(x, context)
+                    x = run_spatial(out_d, f'enc_{i}_{j}_spatial', x)
                     x = run_temporal(temporal_tx(out_d, f'enc_{i}_{j}_temporal'), x)
                 tap(x)
             if i != len(self.dim_mult) - 1:
@@ -140,7 +158,7 @@ class VideoUNetTrunk(nn.Module):
         mid_d = enc_dims[-1]
         x = Res(mid_d, dropout=self.dropout, dtype=self.dtype,
                      name='mid_res1')(x, e, f, deterministic)
-        x = spatial_tx(mid_d, 'mid_spatial')(x, context)
+        x = run_spatial(mid_d, 'mid_spatial', x)
         x = run_temporal(temporal_tx(mid_d, 'mid_temporal'), x)
         x = Res(mid_d, dropout=self.dropout, dtype=self.dtype,
                      name='mid_res2')(x, e, f, deterministic)
@@ -165,7 +183,7 @@ class VideoUNetTrunk(nn.Module):
                              name=f'dec_{i}_{j}_res')(
                                  x, e, f, deterministic)
                 if scale in self.attn_scales:
-                    x = spatial_tx(out_d, f'dec_{i}_{j}_spatial')(x, context)
+                    x = run_spatial(out_d, f'dec_{i}_{j}_spatial', x)
                     x = run_temporal(temporal_tx(out_d, f'dec_{i}_{j}_temporal'), x)
                 if i != len(self.dim_mult) - 1 and j == self.num_res_blocks:
                     x = Upsample(out_d, dtype=self.dtype, name=f'dec_{i}_up')(x)
@@ -176,7 +194,9 @@ class VideoUNetTrunk(nn.Module):
         x = jax.nn.silu(x.astype(jnp.float32)).astype(self.dtype)
         x = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     kernel_init=nn.initializers.zeros, name='head_conv')(x)
-        return x.reshape(b, f, hh, ww, self.out_channels)
+        if split_pending:   # cfg_pair with no cross-attn anywhere: tile late
+            x = jnp.concatenate([x, x], axis=0)
+        return x.reshape(-1, f, hh, ww, self.out_channels)
 
 
 class ControlledV2VUNet(nn.Module):
@@ -209,8 +229,14 @@ class ControlledV2VUNet(nn.Module):
                                          is_controlnet=True, **kw)
 
     def __call__(self, x: jax.Array, t: jax.Array, y: jax.Array,
-                 hint: jax.Array, deterministic: bool = True) -> jax.Array:
+                 hint: jax.Array, deterministic: bool = True,
+                 cfg_pair: bool = False) -> jax.Array:
+        """cfg_pair: pass x/t/hint as ONE copy ([B, ...]) and y as the CFG
+        pair ([2B, ...]); the y-independent prefix (conv_in, hint conv, init
+        temporal, first ResBlock, first LIEM/self-attn — in BOTH trunks) runs
+        once instead of twice. Output is [2B, ...] in y's half order."""
         controls = self.controlnet(x, t, y, hint=hint,
-                                   deterministic=deterministic)
+                                   deterministic=deterministic,
+                                   cfg_pair=cfg_pair)
         return self.unet(x, t, y, controls=controls,
-                         deterministic=deterministic)
+                         deterministic=deterministic, cfg_pair=cfg_pair)

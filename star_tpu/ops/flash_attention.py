@@ -32,12 +32,24 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEFAULT_BQ = 1024   # swept on v5e at seq 14400/d 64: 1024x1024 ~1.6x faster
-DEFAULT_BK = 1024   # than 256x512 (per-block overhead amortization)
+DEFAULT_BQ = 1440   # swept on v5e at seq 14400/d 64 (tools/sweep_flash.py):
+DEFAULT_BK = 1440   # 1440x1440 85.5ms vs 1024x1024 90.5ms; divisor blocks
+#                     also kill the 14400->15360 and 3680->4096 pad copies
 
 
-def _flash_kernel(mask_ref, q_ref, k_ref, v_ref, o_ref, m_scr, l_scr,
-                  acc_scr, *, scale: float, masked: bool, fixed_ref: bool):
+def _divisor_block(s: int, target: int) -> int | None:
+    """Largest multiple of 16 that divides s, within [target/2, target]."""
+    for cand in range(target - target % 16, target // 2 - 1, -16):
+        if cand > 0 and s % cand == 0:
+            return cand
+    return None
+
+
+def _flash_kernel(*refs, scale: float, masked: bool, fixed_ref: bool):
+    if masked:
+        mask_ref, q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr = refs
+    else:
+        q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr = refs
     j = pl.program_id(2)
     n_k = pl.num_programs(2)
 
@@ -127,26 +139,32 @@ def _flash_fwd(q3: jax.Array, k3: jax.Array, v3: jax.Array, scale: float,
 
     masked = skv_pad != skv
     n_k = skv_pad // bk
-    # additive mask table: 0 for valid cols, -inf on the pad tail. Rows are
-    # repeated 8x so the (8, bk) block satisfies the TPU (8, 128) tiling.
-    cols = np.arange(skv_pad).reshape(n_k, 1, bk)
-    mask_tab = jnp.asarray(
-        np.broadcast_to(np.where(cols < skv, 0.0, -np.inf),
-                        (n_k, 8, bk)).reshape(n_k * 8, bk), jnp.float32)
 
     grid = (bh, sq_pad // bq, n_k)
     kernel = functools.partial(_flash_kernel, scale=scale, masked=masked,
                                fixed_ref=fixed_ref)
     flops = 4 * bh * sq_pad * skv_pad * d
+    in_specs = [
+        pl.BlockSpec((1, bq, d), lambda b, i, j: (b, i, 0)),
+        pl.BlockSpec((1, bk, d), lambda b, i, j: (b, j, 0)),
+        pl.BlockSpec((1, bk, d), lambda b, i, j: (b, j, 0)),
+    ]
+    inputs = [q3, k3, v3]
+    if masked:
+        # additive mask table: 0 for valid cols, -inf on the pad tail. Rows
+        # are repeated 8x so the (8, bk) block satisfies (8, 128) tiling.
+        # Only materialized when padding is actually needed — the hot 720p
+        # shape (S=14400) uses divisor blocks (960) and skips this entirely.
+        cols = np.arange(skv_pad).reshape(n_k, 1, bk)
+        mask_tab = jnp.asarray(
+            np.broadcast_to(np.where(cols < skv, 0.0, -np.inf),
+                            (n_k, 8, bk)).reshape(n_k * 8, bk), jnp.float32)
+        in_specs.insert(0, pl.BlockSpec((8, bk), lambda b, i, j: (j, 0)))
+        inputs.insert(0, mask_tab)
     out = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((8, bk), lambda b, i, j: (j, 0)),
-            pl.BlockSpec((1, bq, d), lambda b, i, j: (b, i, 0)),
-            pl.BlockSpec((1, bk, d), lambda b, i, j: (b, j, 0)),
-            pl.BlockSpec((1, bk, d), lambda b, i, j: (b, j, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, bq, d), lambda b, i, j: (b, i, 0)),
         out_shape=jax.ShapeDtypeStruct((bh, sq_pad, d), q3.dtype),
         scratch_shapes=[
@@ -161,7 +179,7 @@ def _flash_fwd(q3: jax.Array, k3: jax.Array, v3: jax.Array, scale: float,
             bytes_accessed=(q3.size + k3.size + v3.size) * 2 + q3.size * 2,
             transcendentals=bh * sq_pad * skv_pad),
         interpret=interpret,
-    )(mask_tab, q3, k3, v3)
+    )(*inputs)
     return out[:, :sq]
 
 
@@ -186,6 +204,10 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     rup = lambda x, m: -(-x // m) * m
     bq_eff = min(bq, rup(sq, 16))        # sublane-aligned block sizes
     bk_eff = min(bk, rup(skv, 128))
+    # prefer an exact divisor near the target: no pad copies of q/k/v, no
+    # in-kernel mask pass (e.g. S=14400 -> 960 instead of 1024+pad-to-15360)
+    bq_eff = _divisor_block(sq, bq_eff) or bq_eff
+    bk_eff = _divisor_block(skv, bk_eff) or bk_eff
     # fold heads into the grid batch dim
     to3 = lambda t: t.transpose(0, 2, 1, 3).reshape(b * h, t.shape[1], d)
     out3 = _flash_fwd(to3(q), to3(k), to3(v), scale, bq_eff, bk_eff,

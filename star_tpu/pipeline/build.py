@@ -73,8 +73,8 @@ def make_bundle(models: StarModels, tokenizer=None,
         params = cast_floating(params, param_dtype)
 
     return ModelBundle(
-        unet_apply=lambda p, x, t, y, hint: models.unet.apply(p, x, t, y,
-                                                              hint),
+        unet_apply=lambda p, x, t, y, hint, **kw: models.unet.apply(
+            p, x, t, y, hint, **kw),
         vae_encode=lambda p, v, key: models.vae.apply(
             p, v, key, method=SVDTemporalVAE.encode),
         vae_decode=lambda p, z: models.vae.apply(

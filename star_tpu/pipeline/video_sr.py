@@ -104,12 +104,13 @@ class STARPipeline:
 
             def denoise_chunk(xt, hint, t):
                 bb = xt.shape[0]
-                xp = jnp.concatenate([xt, xt], axis=0)
-                hp = jnp.concatenate([hint, hint], axis=0)
+                # cfg_pair: the UNet runs the y-independent prefix once at
+                # batch bb and splits at the first cross-attn (unet.py)
                 yp = jnp.concatenate([jnp.tile(y_cond, (bb, 1, 1)),
                                       jnp.tile(y_uncond, (bb, 1, 1))], axis=0)
-                tp = jnp.full((2 * bb,), t, jnp.int32)
-                v = models.unet_apply(params['unet'], xp, tp, yp, hp)
+                tp = jnp.full((bb,), t, jnp.int32)
+                v = models.unet_apply(params['unet'], xt, tp, yp, hint,
+                                      cfg_pair=True)
                 v_c, v_u = jnp.split(v, 2, axis=0)
                 return denoise_to_x0(tables, xt, jnp.full((bb,), t), v_c, v_u,
                                      guide_scale=sc.guide_scale,

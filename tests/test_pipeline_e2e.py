@@ -29,9 +29,9 @@ class TinyControlled(nn.Module):
         self.controlnet = VideoUNetTrunk(name='controlnet', is_controlnet=True,
                                          **kw)
 
-    def __call__(self, x, t, y, hint):
-        return self.unet(x, t, y,
-                         controls=self.controlnet(x, t, y, hint=hint))
+    def __call__(self, x, t, y, hint, cfg_pair=False):
+        controls = self.controlnet(x, t, y, hint=hint, cfg_pair=cfg_pair)
+        return self.unet(x, t, y, controls=controls, cfg_pair=cfg_pair)
 
 
 class TinyVAE(SVDTemporalVAE):
@@ -67,7 +67,8 @@ def pipeline():
             return np.clip(out % 1000, 0, 999)
 
     bundle = ModelBundle(
-        unet_apply=lambda p, x, t, y, hint: unet.apply(p, x, t, y, hint),
+        unet_apply=lambda p, x, t, y, hint, **kw: unet.apply(p, x, t, y,
+                                                            hint, **kw),
         vae_encode=lambda p, v, key: vae.apply(p, v, key,
                                                method=TinyVAE.encode),
         vae_decode=lambda p, z: vae.apply(p, z, method=TinyVAE.decode),

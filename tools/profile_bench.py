@@ -56,8 +56,11 @@ def parse_xplane(trace_dir: str):
                 continue
             ev_meta = plane.event_metadata
             for line in plane.lines:
-                # XLA Ops lines carry per-HLO events
-                if 'XLA Ops' not in line.name and 'Ops' not in line.name:
+                # ONLY the core-busy 'XLA Ops' line: async DMA lines carry
+                # copy-start events whose duration spans their whole
+                # in-flight window (overlapping compute), which inflated the
+                # r2 category totals ~4x
+                if line.name != 'XLA Ops':
                     continue
                 for ev in line.events:
                     name = ev_meta[ev.metadata_id].name
@@ -89,8 +92,11 @@ def main():
     y = jnp.zeros((2 * b, 77, 1024), jnp.bfloat16)
     hint = jnp.zeros((2 * b, f, h, w, 4), jnp.bfloat16)
     shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0), x, t, y, hint)
-    params = jax.device_put(
-        jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes))
+    # bf16 weights to match bench.py's deployment config (fp32 weights double
+    # the streaming traffic and dominate the trace with converts)
+    params = jax.device_put(jax.tree.map(
+        lambda s: jnp.zeros(s.shape, jnp.bfloat16
+                            if s.dtype == jnp.float32 else s.dtype), shapes))
     fwd = jax.jit(lambda p, *a: model.apply(p, *a))
 
     print('[t] compile+warm', flush=True)
