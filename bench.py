@@ -47,7 +47,8 @@ def main():
     y = jnp.zeros((2 * b, 77, 1024), jnp.bfloat16)
     hint = jnp.zeros((b, f, h, w, 4), jnp.bfloat16)
 
-    shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0), x, t, y, hint)
+    shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0), x, t, y[:b],
+                            hint)
     # bf16 weights, like deployment (pipeline/build.make_bundle(param_dtype=
     # bf16)): flax's fp32 param default doubles the weight-streaming traffic
     # and injects converts — profiled at >2x the whole device step (r2 trace)

@@ -372,17 +372,78 @@ def jpeg_compress(x: jax.Array, quality: jax.Array | float) -> jax.Array:
 
 
 # --------------------------------------------------------------------------
-# codec round-trip (host) — optional
+# codec round-trip: PyAV when available, device-side proxy otherwise
 # --------------------------------------------------------------------------
+
+def _dct_quant(img: jax.Array, tab: jax.Array) -> jax.Array:
+    """8x8 blockwise DCT-quantize-IDCT round trip.
+
+    img: [F, H, W, 3] (H, W multiples of 8, any centering); tab: [8, 8, 3]."""
+    f, h, w, _ = img.shape
+    d = jnp.asarray(_DCT)
+    blocks = img.reshape(f, h // 8, 8, w // 8, 8, 3).transpose(0, 1, 3, 2, 4, 5)
+    coeff = jnp.einsum('ij,fabjkc,lk->fabilc', d, blocks, d)
+    coeff = jnp.round(coeff / tab) * tab
+    rec = jnp.einsum('ji,fabjkc,kl->fabilc', d, coeff, d)
+    return rec.transpose(0, 1, 3, 2, 4, 5).reshape(f, h, w, 3)
+
+
+def codec_proxy(frames01: jax.Array, seed: int,
+                quality: float | None = None) -> jax.Array:
+    """Device-side compression proxy for images without a codec stack:
+    4:2:0 chroma subsampling + intra DCT quantization of the first frame +
+    quantized temporal-residual DCT for the following frames (DPCM) — the
+    blocking + temporal-smear signature of the reference's H.264/mpeg4 stage
+    (degrade_video.py:48-76), fully jittable so the training-data
+    distribution keeps codec-like artifacts where PyAV/ffmpeg don't exist.
+    """
+    rng = random.Random(seed)
+    q = float(quality if quality is not None else rng.uniform(18.0, 40.0))
+    f, h, w, c = frames01.shape
+    assert c == 3
+    hp, wp = -(-h // 16) * 16, -(-w // 16) * 16
+    x = jnp.pad(frames01, ((0, 0), (0, hp - h), (0, wp - w), (0, 0)),
+                mode='edge')
+    ycc = jnp.einsum('fhwc,dc->fhwd', x * 255.0, jnp.asarray(_RGB2YCBCR))
+    ycc = ycc + jnp.array([0.0, 128.0, 128.0])
+
+    # 4:2:0: average 2x2 chroma, nearest-upsample back
+    cb_cr = ycc[..., 1:]
+    sub = cb_cr.reshape(f, hp // 2, 2, wp // 2, 2, 2).mean(axis=(2, 4))
+    up = jnp.repeat(jnp.repeat(sub, 2, axis=1), 2, axis=2)
+    ycc = jnp.concatenate([ycc[..., :1], up], axis=-1)
+
+    scale = (5000.0 / q) if q < 50 else (200.0 - 2.0 * q)
+    ytab = jnp.clip(jnp.floor((jnp.asarray(_Y_TABLE) * scale + 50.0) / 100.0),
+                    1, 255)
+    ctab = jnp.clip(jnp.floor((jnp.asarray(_C_TABLE) * scale + 50.0) / 100.0),
+                    1, 255)
+    tab = jnp.stack([ytab, ctab, ctab], axis=-1)
+
+    # I-frame: intra quantization; P-frames: quantized DPCM residuals
+    # (residual table 1.6x coarser, like inter-frame quant offsets)
+    intra = _dct_quant(ycc[:1] - 128.0, tab) + 128.0
+
+    def p_frame(prev, cur):
+        rec = prev + _dct_quant((cur - prev)[None], tab * 1.6)[0]
+        return rec, rec
+
+    _, rest = jax.lax.scan(p_frame, intra[0], ycc[1:])
+    out = jnp.concatenate([intra, rest], axis=0)
+    out = out - jnp.array([0.0, 128.0, 128.0])
+    rgb = jnp.einsum('fhwd,cd->fhwc', out, jnp.asarray(_YCBCR2RGB)) / 255.0
+    return jnp.clip(rgb[:, :h, :w], 0.0, 1.0)
+
 
 def codec_roundtrip(frames01: np.ndarray, seed: int) -> np.ndarray:
     """H.264/mpeg4 encode-decode via PyAV when available
-    (degrade_video.py:19-76); no-op with a warning otherwise."""
+    (degrade_video.py:19-76); falls back to the device-side codec_proxy
+    (DCT-DPCM) otherwise so the compression stage never silently vanishes."""
     try:
         import av  # noqa
     except ImportError:
-        logger.warning('PyAV unavailable: skipping codec degradation stage')
-        return frames01
+        logger.info('PyAV unavailable: using device-side codec proxy')
+        return np.asarray(codec_proxy(jnp.asarray(frames01), seed))
     rng = random.Random(seed)
     codec = rng.choice(['libx264', 'mpeg4'])
     bitrate = rng.randint(int(1e4), int(1e5))

@@ -69,18 +69,83 @@ class TarVideoDataset:
 
     shards: list of tar paths; assigned rank-strided across processes like
     the reference's webdataset url splitting.
+
+    Round-2 features mirroring the reference loader (sgm/webds.py shard
+    shuffling + buffered sample shuffle; data_video.py:320-457 resumable
+    iteration):
+      * shuffle_seed: per-epoch deterministic shard-order shuffle
+      * shuffle_buffer: webdataset-style streaming shuffle — fill a buffer of
+        N samples, emit a random one, refill
+      * state_dict()/load_state_dict(): resume mid-epoch at (epoch,
+        shard index, sample index); the buffered shuffle replays with the
+        same seed so a resumed stream is deterministic
     """
 
     def __init__(self, shards: Sequence[str], process_index: int = 0,
-                 process_count: int = 1, decode: bool = True):
+                 process_count: int = 1, decode: bool = True,
+                 shuffle_seed: int | None = None, shuffle_buffer: int = 0):
         self.shards: List[str] = sorted(shards)[process_index::process_count]
         self.decode = decode
+        self.shuffle_seed = shuffle_seed
+        self.shuffle_buffer = shuffle_buffer
+        self._epoch = 0
+        self._shard_idx = 0
+        self._sample_idx = 0
 
-    def __iter__(self) -> Iterator[Dict]:
-        for shard in self.shards:
+    # ---------------------------------------------------------------- state
+    def state_dict(self) -> Dict[str, int]:
+        return {'epoch': self._epoch, 'shard_idx': self._shard_idx,
+                'sample_idx': self._sample_idx}
+
+    def load_state_dict(self, state: Dict[str, int]) -> None:
+        self._epoch = int(state['epoch'])
+        self._shard_idx = int(state['shard_idx'])
+        self._sample_idx = int(state['sample_idx'])
+
+    def set_epoch(self, epoch: int) -> None:
+        self._epoch = epoch
+        self._shard_idx = 0
+        self._sample_idx = 0
+
+    # ------------------------------------------------------------- iteration
+    def _epoch_shards(self) -> List[str]:
+        shards = list(self.shards)
+        if self.shuffle_seed is not None:
+            rng = np.random.RandomState(self.shuffle_seed + self._epoch)
+            rng.shuffle(shards)
+        return shards
+
+    def _raw_iter(self) -> Iterator[Dict]:
+        """Position-tracked sample stream (pre shuffle-buffer)."""
+        shards = self._epoch_shards()
+        while self._shard_idx < len(shards):
+            shard = shards[self._shard_idx]
+            skip = self._sample_idx
             with tarfile.open(shard) as tf:
-                for key, sample in _group_members(tf):
-                    out = {'__key__': key}
+                for n, (key, sample) in enumerate(_group_members(tf)):
+                    if n < skip:
+                        continue
+                    out = {'__key__': key, '__shard__': shard}
                     for ext, raw in sample.items():
                         out[ext] = _decode(ext, raw) if self.decode else raw
+                    self._sample_idx = n + 1
                     yield out
+            self._shard_idx += 1
+            self._sample_idx = 0
+        self._epoch += 1
+        self._shard_idx = 0
+        self._sample_idx = 0
+
+    def __iter__(self) -> Iterator[Dict]:
+        if self.shuffle_buffer <= 1:
+            yield from self._raw_iter()
+            return
+        rng = np.random.RandomState(
+            (self.shuffle_seed or 0) * 10007 + self._epoch)
+        buf: List[Dict] = []
+        for sample in self._raw_iter():
+            buf.append(sample)
+            if len(buf) >= self.shuffle_buffer:
+                yield buf.pop(rng.randint(len(buf)))
+        while buf:
+            yield buf.pop(rng.randint(len(buf)))

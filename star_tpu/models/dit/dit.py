@@ -133,6 +133,8 @@ class DiTLayer(nn.Module):
     height: int
     width: int
     lora_rank: int = 0
+    liem: bool = True     # STAR SR adds LIEM gates; stock CogVideoX (T2V
+    #                       demos, cli_demo.py) has none
     dtype: jnp.dtype = jnp.float32
     # Ulysses sequence parallelism (opt-in): shard the token dim over
     # `sp_axis` of `sp_mesh`; attention swaps seq<->heads via all_to_all
@@ -176,25 +178,30 @@ class DiTLayer(nn.Module):
         img_in = modulate(input_ln(img), sh_msa, sc_msa)
         text_in = modulate(input_ln(text), t_sh_msa, t_sc_msa)
 
-        # LIEM on the modulated image stream (dit_video_concat.py:523-533)
-        bt = b * self.t_size
-        spa = img_in.reshape(b, self.t_size, self.height, self.width, c)
-        _spa_in = spa.reshape(bt, self.height, self.width, c)
-        if self.sp_mesh is not None and self.sp_mesh.shape[self.sp_axis] > 1:
-            # pin the 7x7 LIEM conv input replicated: XLA's spatially
-            # partitioned conv produced wrong halos for seq-sharded inputs
-            # inside nn.scan (observed at context=4 on the CPU mesh); the
-            # gate conv is 2ch->1ch and cheap, the gather is one layer's
-            # image tokens — same order as the Ulysses all_to_alls
-            _spa_in = jax.lax.with_sharding_constraint(
-                _spa_in, NamedSharding(self.sp_mesh, P()))
-        spa = SpatialLIEMTokens(dtype=self.dtype, name='spa_local')(_spa_in)
-        spa = spa.reshape(b, self.t_size, self.height, self.width, c)
-        tmp = spa.transpose(0, 2, 3, 1, 4).reshape(
-            b * self.height * self.width, self.t_size, c)
-        tmp = TemporalLIEMTokens(dtype=self.dtype, name='temp_local')(tmp)
-        img_in = tmp.reshape(b, self.height, self.width, self.t_size, c) \
-            .transpose(0, 3, 1, 2, 4).reshape(b, s - tl, c)
+        # LIEM on the modulated image stream (dit_video_concat.py:523-533);
+        # stock CogVideoX (T2V) has no LIEM
+        if self.liem:
+            bt = b * self.t_size
+            spa = img_in.reshape(b, self.t_size, self.height, self.width, c)
+            _spa_in = spa.reshape(bt, self.height, self.width, c)
+            if (self.sp_mesh is not None
+                    and self.sp_mesh.shape[self.sp_axis] > 1):
+                # pin the 7x7 LIEM conv input replicated: XLA's spatially
+                # partitioned conv produced wrong halos for seq-sharded
+                # inputs inside nn.scan (observed at context=4 on the CPU
+                # mesh); the gate conv is 2ch->1ch and cheap, the gather is
+                # one layer's image tokens — same order as the Ulysses
+                # all_to_alls
+                _spa_in = jax.lax.with_sharding_constraint(
+                    _spa_in, NamedSharding(self.sp_mesh, P()))
+            spa = SpatialLIEMTokens(dtype=self.dtype, name='spa_local')(
+                _spa_in)
+            spa = spa.reshape(b, self.t_size, self.height, self.width, c)
+            tmp = spa.transpose(0, 2, 3, 1, 4).reshape(
+                b * self.height * self.width, self.t_size, c)
+            tmp = TemporalLIEMTokens(dtype=self.dtype, name='temp_local')(tmp)
+            img_in = tmp.reshape(b, self.height, self.width, self.t_size, c) \
+                .transpose(0, 3, 1, 2, 4).reshape(b, s - tl, c)
 
         attn_in = jnp.concatenate([text_in, img_in], axis=1)
         qkv = LoraDense(3 * self.hidden_size, self.lora_rank,
@@ -260,6 +267,7 @@ class _DiTScanCell(nn.Module):
     height: int
     width: int
     lora_rank: int = 0
+    liem: bool = True
     dtype: jnp.dtype = jnp.float32
     sp_mesh: Optional[Mesh] = None
     sp_axis: str = 'context'
@@ -270,7 +278,8 @@ class _DiTScanCell(nn.Module):
         h = DiTLayer(hidden_size=self.hidden_size, num_heads=self.num_heads,
                      text_length=self.text_length, t_size=self.t_size,
                      height=self.height, width=self.width,
-                     lora_rank=self.lora_rank, dtype=self.dtype,
+                     lora_rank=self.lora_rank, liem=self.liem,
+                     dtype=self.dtype,
                      sp_mesh=self.sp_mesh, sp_axis=self.sp_axis,
                      name='layer')(h, emb, cos, sin)
         return (h, emb, cos, sin), None
@@ -288,6 +297,7 @@ class CogVideoDiT(nn.Module):
     text_length: int = 226
     time_embed_dim: int = 512
     lora_rank: int = 0
+    liem: bool = True     # False = stock CogVideoX-5B (T2V mode)
     scan_layers: bool = True
     dtype: jnp.dtype = jnp.float32
     # Ulysses SP opt-in for >13-latent-frame sampling: activations between
@@ -328,7 +338,8 @@ class CogVideoDiT(nn.Module):
 
         layer_cfg = dict(hidden_size=c, num_heads=self.num_heads,
                          text_length=self.text_length, t_size=t, height=hp,
-                         width=wp, lora_rank=self.lora_rank, dtype=self.dtype,
+                         width=wp, lora_rank=self.lora_rank, liem=self.liem,
+                         dtype=self.dtype,
                          sp_mesh=self.sp_mesh, sp_axis=self.sp_axis)
         if self.sp_mesh is not None and self.sp_mesh.shape[self.sp_axis] > 1:
             n = self.sp_mesh.shape[self.sp_axis]

@@ -16,9 +16,12 @@ flash-attention recurrence. Ragged Sk is handled with an in-kernel column
 mask on the last k block; ragged Sq by padding (padded rows are sliced off;
 their l=0 division yields NaNs that never escape the slice).
 
-Backward: custom_vjp that recomputes attention with the XLA einsum path —
-fine at training shapes (32-frame 720p training uses chunked windows); a
-Pallas backward kernel is future work.
+Backward: Pallas recompute kernel (_flash_bwd_kernel) — the forward saves the
+softmax denominators (fixed-reference softmax has no row max to save), the
+backward recomputes p = exp2(qs k^T) tile by tile and accumulates dq in a
+resident full-sequence fp32 block, dk/dv per key block. The [S, S] logits
+never hit HBM, so 32-frame 720p training fits (the round-1 XLA fallback
+materialized them).
 """
 
 from __future__ import annotations
@@ -45,11 +48,17 @@ def _divisor_block(s: int, target: int) -> int | None:
     return None
 
 
-def _flash_kernel(*refs, scale: float, masked: bool, fixed_ref: bool):
+def _flash_kernel(*refs, scale: float, masked: bool, fixed_ref: bool,
+                  with_l: bool = False):
+    l_ref = None
     if masked:
-        mask_ref, q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr = refs
+        mask_ref, q_ref, k_ref, v_ref, *outs = refs
     else:
-        q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr = refs
+        q_ref, k_ref, v_ref, *outs = refs
+    if with_l:
+        o_ref, l_ref, m_scr, l_scr, acc_scr = outs
+    else:
+        o_ref, m_scr, l_scr, acc_scr = outs
     j = pl.program_id(2)
     n_k = pl.num_programs(2)
 
@@ -117,12 +126,19 @@ def _flash_kernel(*refs, scale: float, masked: bool, fixed_ref: bool):
         # to 0 there; emit 0 instead of NaN
         denom = jnp.maximum(l_scr[:, :1], 1e-30)
         o_ref[0] = (acc_scr[:] / denom).astype(o_ref.dtype)
+        if with_l:
+            # softmax denominators for the backward kernel; stored as
+            # [8, bq] (seq on lanes) so the [BH, 8, S] residual has no
+            # tile-padding blowup in HBM
+            l_ref[0] = jnp.broadcast_to(denom.reshape(1, -1),
+                                        l_ref.shape[1:])
 
 
 def _flash_fwd(q3: jax.Array, k3: jax.Array, v3: jax.Array, scale: float,
                bq: int, bk: int, interpret: bool,
-               fixed_ref: bool = True) -> jax.Array:
-    """q3/k3/v3: [BH, S, D]."""
+               fixed_ref: bool = True, with_l: bool = False):
+    """q3/k3/v3: [BH, S, D] -> out [BH, S, D] (+ softmax denominators
+    [BH, S] fp32 when with_l, for the Pallas backward)."""
     bh, sq, d = q3.shape
     skv = k3.shape[1]
     # fold scale * log2(e) into q once: the kernel's softmax runs in log2
@@ -142,7 +158,7 @@ def _flash_fwd(q3: jax.Array, k3: jax.Array, v3: jax.Array, scale: float,
 
     grid = (bh, sq_pad // bq, n_k)
     kernel = functools.partial(_flash_kernel, scale=scale, masked=masked,
-                               fixed_ref=fixed_ref)
+                               fixed_ref=fixed_ref, with_l=with_l)
     flops = 4 * bh * sq_pad * skv_pad * d
     in_specs = [
         pl.BlockSpec((1, bq, d), lambda b, i, j: (b, i, 0)),
@@ -150,6 +166,13 @@ def _flash_fwd(q3: jax.Array, k3: jax.Array, v3: jax.Array, scale: float,
         pl.BlockSpec((1, bk, d), lambda b, i, j: (b, j, 0)),
     ]
     inputs = [q3, k3, v3]
+    out_specs = pl.BlockSpec((1, bq, d), lambda b, i, j: (b, i, 0))
+    out_shape = jax.ShapeDtypeStruct((bh, sq_pad, d), q3.dtype)
+    if with_l:
+        out_specs = (out_specs,
+                     pl.BlockSpec((1, 8, bq), lambda b, i, j: (b, 0, i)))
+        out_shape = (out_shape,
+                     jax.ShapeDtypeStruct((bh, 8, sq_pad), jnp.float32))
     if masked:
         # additive mask table: 0 for valid cols, -inf on the pad tail. Rows
         # are repeated 8x so the (8, bk) block satisfies (8, 128) tiling.
@@ -165,8 +188,8 @@ def _flash_fwd(q3: jax.Array, k3: jax.Array, v3: jax.Array, scale: float,
         kernel,
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, bq, d), lambda b, i, j: (b, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((bh, sq_pad, d), q3.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((bq, 128), jnp.float32),   # m
             pltpu.VMEM((bq, 128), jnp.float32),   # l
@@ -180,7 +203,136 @@ def _flash_fwd(q3: jax.Array, k3: jax.Array, v3: jax.Array, scale: float,
             transcendentals=bh * sq_pad * skv_pad),
         interpret=interpret,
     )(*inputs)
+    if with_l:
+        out, l = out
+        return out[:, :sq], l[:, 0, :sq]
     return out[:, :sq]
+
+
+LOG2E = 1.4426950408889634
+LN2 = 0.6931471805599453
+DEFAULT_BWD_BQ = 512    # backward holds a full [Sq, D] fp32 dq block plus
+DEFAULT_BWD_BK = 512    # three [bq, bk] fp32 temps in VMEM - smaller blocks
+
+
+def _flash_bwd_kernel(qs_ref, g_ref, k_ref, v_ref, dq_ref, dk_ref, dv_ref,
+                      *, scale: float):
+    """One (j, i) tile of the recompute backward.
+
+    qs = q * scale*log2(e)  [bq, d];  g = [dO/l | -D/l]  [bq, d+1];
+    k [bk, d];  v = [v | 1] [bk, d+1] (the same ones-column as the forward:
+    the MXU computes dP - D in one dot).  Fixed-reference softmax means no
+    saved row max: p = exp2(qs k^T) recomputes exactly what the forward used.
+
+    dq accumulates in a full-sequence fp32 output block resident in VMEM for
+    the whole (j, i) sweep of one batch-head; dk/dv accumulate per-j blocks
+    across the inner i loop.
+    """
+    j = pl.program_id(1)
+    i = pl.program_id(2)
+
+    qs = qs_ref[0]
+    g = g_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    d = k.shape[-1]
+
+    u = jax.lax.dot_general(qs, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    p = jnp.exp2(jnp.minimum(u, 120.0))           # [bq, bk] fp32
+    dp = jax.lax.dot_general(g, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = p * dp                                   # = dS (fp32)
+    p_b = p.astype(k.dtype)
+    ds_b = ds.astype(k.dtype)
+
+    dv_blk = jax.lax.dot_general(p_b, g, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)[:, :d]
+    # dk = scale * dS^T q = ln2 * dS^T qs   (qs carries scale*log2e)
+    dk_blk = jax.lax.dot_general(ds_b, qs, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32) * LN2
+    dq_blk = jax.lax.dot_general(ds_b, k, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32) * scale
+
+    bq = qs.shape[0]
+
+    @pl.when(j == 0)
+    def _init_dq():
+        dq_ref[0, pl.ds(i * bq, bq), :] = dq_blk
+
+    @pl.when(j > 0)
+    def _acc_dq():
+        dq_ref[0, pl.ds(i * bq, bq), :] += dq_blk
+
+    @pl.when(i == 0)
+    def _init_dkv():
+        dk_ref[0] = dk_blk
+        dv_ref[0] = dv_blk
+
+    @pl.when(i > 0)
+    def _acc_dkv():
+        dk_ref[0] += dk_blk
+        dv_ref[0] += dv_blk
+
+
+def _flash_bwd(q3, k3, v3, o3, l3, do3, scale: float, bq: int, bk: int,
+               interpret: bool):
+    """[BH, S, D] backward; returns (dq3, dk3, dv3) fp32."""
+    bh, sq, d = q3.shape
+    skv = k3.shape[1]
+    c = scale * LOG2E
+    qs = (q3.astype(jnp.float32) * c).astype(q3.dtype)
+    l = jnp.maximum(l3, 1e-30)[..., None]          # [bh, sq, 1] fp32
+    do32 = do3.astype(jnp.float32)
+    g = do32 / l
+    e = jnp.sum(do32 * o3.astype(jnp.float32), axis=-1, keepdims=True) / l
+    g_ext = jnp.concatenate([g, -e], axis=-1).astype(q3.dtype)
+    v_ext = jnp.concatenate(
+        [v3, jnp.ones((bh, skv, 1), v3.dtype)], axis=-1)
+
+    rup = lambda x, m: -(-x // m) * m
+    bq_eff = min(bq, rup(sq, 16))
+    bk_eff = min(bk, rup(skv, 16))
+    bq_eff = _divisor_block(sq, bq_eff) or bq_eff
+    bk_eff = _divisor_block(skv, bk_eff) or bk_eff
+    sq_pad, skv_pad = rup(sq, bq_eff), rup(skv, bk_eff)
+    if sq_pad != sq:       # zero pad rows contribute exactly zero gradients
+        qs = jnp.pad(qs, ((0, 0), (0, sq_pad - sq), (0, 0)))
+        g_ext = jnp.pad(g_ext, ((0, 0), (0, sq_pad - sq), (0, 0)))
+    if skv_pad != skv:
+        k3 = jnp.pad(k3, ((0, 0), (0, skv_pad - skv), (0, 0)))
+        v_ext = jnp.pad(v_ext, ((0, 0), (0, skv_pad - skv), (0, 0)))
+
+    grid = (bh, skv_pad // bk_eff, sq_pad // bq_eff)
+    de = d + 1
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_flash_bwd_kernel, scale=scale),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq_eff, d), lambda b, j, i: (b, i, 0)),
+            pl.BlockSpec((1, bq_eff, de), lambda b, j, i: (b, i, 0)),
+            pl.BlockSpec((1, bk_eff, d), lambda b, j, i: (b, j, 0)),
+            pl.BlockSpec((1, bk_eff, de), lambda b, j, i: (b, j, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, sq_pad, d), lambda b, j, i: (b, 0, 0)),
+            pl.BlockSpec((1, bk_eff, d), lambda b, j, i: (b, j, 0)),
+            pl.BlockSpec((1, bk_eff, d), lambda b, j, i: (b, j, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, sq_pad, d), jnp.float32),
+            jax.ShapeDtypeStruct((bh, skv_pad, d), jnp.float32),
+            jax.ShapeDtypeStruct((bh, skv_pad, d), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('parallel', 'arbitrary', 'arbitrary')),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * bh * sq_pad * skv_pad * d,
+            bytes_accessed=(qs.size + g_ext.size + k3.size + v_ext.size) * 2,
+            transcendentals=bh * sq_pad * skv_pad),
+        interpret=interpret,
+    )(qs, g_ext, k3, v_ext)
+    return dq[:, :sq], dk[:, :skv], dv[:, :skv]
 
 
 def _xla_reference(q: jax.Array, k: jax.Array, v: jax.Array,
@@ -215,17 +367,49 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     return out3.reshape(b, h, sq, d).transpose(0, 2, 1, 3)
 
 
+def _to3(t):
+    b, s, h, d = t.shape
+    return t.transpose(0, 2, 1, 3).reshape(b * h, s, d)
+
+
+def _from3(t3, b, h):
+    bh, s, d = t3.shape
+    return t3.reshape(b, h, s, d).transpose(0, 2, 1, 3)
+
+
 def _fwd(q, k, v, scale, bq, bk, interpret, fixed_ref=True):
-    return flash_attention(q, k, v, scale, bq, bk, interpret, fixed_ref), \
-        (q, k, v)
+    if not fixed_ref:
+        out = flash_attention(q, k, v, scale, bq, bk, interpret, fixed_ref)
+        return out, (q, k, v, None, None)
+    b, sq, h, d = q.shape
+    skv = k.shape[1]
+    s = (1.0 / math.sqrt(d)) if scale is None else scale
+    rup = lambda x, m: -(-x // m) * m
+    bq_eff = min(bq, rup(sq, 16))
+    bk_eff = min(bk, rup(skv, 128))
+    bq_eff = _divisor_block(sq, bq_eff) or bq_eff
+    bk_eff = _divisor_block(skv, bk_eff) or bk_eff
+    out3, l3 = _flash_fwd(_to3(q), _to3(k), _to3(v), s, bq_eff, bk_eff,
+                          interpret, fixed_ref, with_l=True)
+    return _from3(out3, b, h), (q, k, v, _from3(out3, b, h), l3)
 
 
 def _bwd(scale, bq, bk, interpret, fixed_ref, res, g):
-    q, k, v = res
+    q, k, v, out, l3 = res
     d = q.shape[-1]
     s = (1.0 / math.sqrt(d)) if scale is None else scale
-    _, vjp = jax.vjp(lambda q_, k_, v_: _xla_reference(q_, k_, v_, s), q, k, v)
-    return vjp(g)
+    if l3 is None:
+        # non-fixed_ref path: XLA recompute fallback (materializes S^2)
+        _, vjp = jax.vjp(lambda q_, k_, v_: _xla_reference(q_, k_, v_, s),
+                         q, k, v)
+        return vjp(g)
+    b, h = q.shape[0], q.shape[2]
+    dq3, dk3, dv3 = _flash_bwd(_to3(q), _to3(k), _to3(v), _to3(out), l3,
+                               _to3(g), s, DEFAULT_BWD_BQ, DEFAULT_BWD_BK,
+                               interpret)
+    return (_from3(dq3, b, h).astype(q.dtype),
+            _from3(dk3, b, h).astype(k.dtype),
+            _from3(dv3, b, h).astype(v.dtype))
 
 
 flash_attention.defvjp(_fwd, _bwd)

@@ -124,3 +124,46 @@ def test_general_conditioner():
     np.testing.assert_allclose(np.asarray(out['vector']),
                                np.asarray(GeneralConditioner([emb_d])(
                                    batch, force_uncond=True)['vector']))
+
+
+def _make_shards(tmp_path, n_shards=3, per_shard=4):
+    import tarfile as _tar
+    shards = []
+    for s in range(n_shards):
+        shard = tmp_path / f'shard-{s:03d}.tar'
+        with _tar.open(shard, 'w') as tf:
+            for i in range(per_shard):
+                key = f's{s}_{i}'
+                p = tmp_path / (key + '.txt')
+                p.write_text(f'caption {key}')
+                tf.add(p, arcname=key + '.txt')
+        shards.append(str(shard))
+    return shards
+
+
+def test_webds_shard_and_sample_shuffle(tmp_path):
+    from star_tpu.data.webds import TarVideoDataset
+    shards = _make_shards(tmp_path)
+    plain = [s['__key__'] for s in TarVideoDataset(shards)]
+    ds = TarVideoDataset(shards, shuffle_seed=1, shuffle_buffer=6)
+    ep0 = [s['__key__'] for s in ds]
+    assert sorted(ep0) == sorted(plain) and ep0 != plain
+    # next epoch reshuffles differently but covers the same set
+    ep1 = [s['__key__'] for s in ds]
+    assert sorted(ep1) == sorted(plain) and ep1 != ep0
+
+
+def test_webds_resumable_iteration(tmp_path):
+    from star_tpu.data.webds import TarVideoDataset
+    shards = _make_shards(tmp_path)
+    ds = TarVideoDataset(shards, shuffle_seed=3)
+    it = iter(ds)
+    head = [next(it)['__key__'] for _ in range(5)]
+    state = ds.state_dict()
+    rest_a = [s['__key__'] for s in it]           # drain the epoch
+
+    ds2 = TarVideoDataset(shards, shuffle_seed=3)
+    ds2.load_state_dict(state)
+    rest_b = [s['__key__'] for s in iter(ds2)]
+    assert rest_b[:len(rest_a)] == rest_a
+    assert set(head).isdisjoint(rest_b[:len(rest_a)])

@@ -107,3 +107,59 @@ def test_rejects_even_latent_count(pipeline):
     frames = np.zeros((21, 32, 48, 3), np.uint8)  # -> 6 latents (even)
     with pytest.raises(AssertionError):
         pipeline.enhance_a_video(frames, 'x')
+
+
+def test_t2v_sample_end_to_end():
+    """Stock (liem=False) T2V path: prompt -> frames (reference demo:
+    cogvideox-based/inference/cli_demo.py)."""
+    from star_tpu.pipeline.cogvideo_t2v import (CogT2VBundle,
+                                                CogVideoT2VPipeline)
+
+    vae = TinyVAE()
+    dit = CogVideoDiT(hidden_size=64, num_layers=2, num_heads=4, patch_size=2,
+                      latent_channels=4, text_hidden_size=CTX_DIM,
+                      text_length=TEXT_LEN, time_embed_dim=16, liem=False)
+    h, w = 32, 48
+    t_lat = 3
+    vparams = vae.init(jax.random.PRNGKey(0), jnp.zeros((1, 9, h, w, 3)))
+    dparams = dit.init(jax.random.PRNGKey(1),
+                       jnp.zeros((2, t_lat, h // 8, w // 8, 4)),
+                       jnp.zeros((2,), jnp.int32),
+                       jnp.zeros((2, TEXT_LEN, CTX_DIM)))
+    # no LIEM params in the stock tree
+    flat = ['/'.join(map(str, p)) for p, _ in
+            jax.tree_util.tree_leaves_with_path(dparams)]
+    assert not any('local' in f for f in flat)
+
+    class Text:
+        def __call__(self, tokens):
+            t = jnp.asarray(tokens, jnp.float32)
+            return jnp.stack([t * (i + 1) / 1000.0
+                              for i in range(CTX_DIM)], axis=-1)
+
+    def vae_decode_window(vp, latents, cache, first):
+        variables = {'params': vp['params']}
+        if cache:
+            variables['cache'] = cache
+        out, mut = vae.apply(variables, latents, True, first,
+                             method=TinyVAE.decode, mutable=['cache'])
+        return out, mut['cache']
+
+    class Tok8(T5HashTokenizer):
+        def __call__(self, texts, max_length=TEXT_LEN):
+            return super().__call__(texts, max_length)
+
+    bundle = CogT2VBundle(
+        dit_apply=lambda p, x, t, c: dit.apply(p, x, t, c),
+        vae_decode_window=vae_decode_window,
+        text_encode=lambda p, tok: Text()(tok),
+        tokenizer=Tok8(),
+        params={'dit': dparams, 'vae': vparams, 'text': {}})
+    pipe = CogVideoT2VPipeline(bundle, CogSamplerConfig(num_steps=4),
+                               latent_hw=(h // 8, w // 8), latent_channels=4)
+    out = pipe.sample('a red cube rotating', num_frames=9, seed=5)
+    assert out.shape == (9, h, w, 3)
+    assert out.dtype == np.uint8
+    assert out.std() > 0
+    out2 = pipe.sample('a red cube rotating', num_frames=9, seed=5)
+    np.testing.assert_array_equal(out, out2)

@@ -90,3 +90,38 @@ def test_degrade_video_end_to_end():
     # degraded-then-upsampled differs from a clean downsample
     assert np.abs(lq - np.asarray(jax.image.resize(
         jnp.asarray(gt), (2, 16, 16, 3), 'linear'))).mean() > 0.005
+
+
+def test_codec_proxy_blocks_and_smears():
+    """Device-side codec proxy: lossy, blockwise, temporally dependent, and
+    substitutes for PyAV in codec_roundtrip (reference degrade_video.py:48-76
+    H.264 stage)."""
+    import jax.numpy as jnp
+    from star_tpu.data.degradation import codec_proxy, codec_roundtrip
+
+    rng = np.random.RandomState(0)
+    # smooth moving-gradient content + mild texture (random noise would be
+    # legitimately destroyed at q=20, as a real codec would)
+    yy, xx = np.mgrid[0:32, 0:48].astype(np.float32)
+    base = np.stack([np.sin(xx / 8 + t) * 0.25 + yy / 64 + 0.3
+                     for t in range(4)])[..., None]
+    frames = np.clip(np.repeat(base, 3, axis=-1) +
+                     rng.uniform(-0.05, 0.05, (4, 32, 48, 3)), 0, 1) \
+        .astype(np.float32)
+    out = np.asarray(codec_proxy(jnp.asarray(frames), seed=3, quality=20.0))
+    assert out.shape == frames.shape
+    assert np.isfinite(out).all()
+    err = np.abs(out - frames).mean()
+    assert 0.005 < err < 0.2, err          # lossy but not destroyed
+    # higher quality -> closer to source
+    hi = np.asarray(codec_proxy(jnp.asarray(frames), seed=3, quality=90.0))
+    assert np.abs(hi - frames).mean() < err
+    # temporal dependence: changing frame 0 changes the P-frame recon chain
+    frames2 = frames.copy()
+    frames2[0] += 0.25
+    out2 = np.asarray(codec_proxy(jnp.asarray(np.clip(frames2, 0, 1)),
+                                  seed=3, quality=20.0))
+    assert np.abs(out2[1:] - out[1:]).max() > 1e-4
+    # codec_roundtrip falls back to the proxy without PyAV (not a no-op)
+    rt = codec_roundtrip(frames, seed=3)
+    assert rt.shape == frames.shape and np.abs(rt - frames).mean() > 0.003

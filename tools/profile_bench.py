@@ -87,17 +87,18 @@ def main():
     print('[t] build', flush=True)
     model = ControlledV2VUNet(dtype=jnp.bfloat16)
     b, f, h, w = 1, 8, 90, 160
-    x = jnp.zeros((2 * b, f, h, w, 4), jnp.bfloat16)
-    t = jnp.full((2 * b,), 899, jnp.int32)
-    y = jnp.zeros((2 * b, 77, 1024), jnp.bfloat16)
-    hint = jnp.zeros((2 * b, f, h, w, 4), jnp.bfloat16)
-    shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0), x, t, y, hint)
+    x = jnp.zeros((b, f, h, w, 4), jnp.bfloat16)
+    t = jnp.full((b,), 899, jnp.int32)
+    y = jnp.zeros((2 * b, 77, 1024), jnp.bfloat16)   # CFG pair (cfg_pair=True)
+    hint = jnp.zeros((b, f, h, w, 4), jnp.bfloat16)
+    shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0), x, t, y[:b],
+                            hint)
     # bf16 weights to match bench.py's deployment config (fp32 weights double
     # the streaming traffic and dominate the trace with converts)
     params = jax.device_put(jax.tree.map(
         lambda s: jnp.zeros(s.shape, jnp.bfloat16
                             if s.dtype == jnp.float32 else s.dtype), shapes))
-    fwd = jax.jit(lambda p, *a: model.apply(p, *a))
+    fwd = jax.jit(lambda p, *a: model.apply(p, *a, cfg_pair=True))
 
     print('[t] compile+warm', flush=True)
     for _ in range(2):
