@@ -98,7 +98,8 @@ def main():
                               guide_scale=args.cfg),
         upscale=args.upscale, max_chunk_len=args.max_chunk_len,
         color_fix=args.color_fix)
-    pipe = build_pipeline(models, cfg, param_dtype=dtype)
+    pipe = build_pipeline(models, cfg, param_dtype=dtype,
+                          allow_hash_tokenizer=args.allow_random_weights)
 
     for video_path, prompt in jobs:
         frames, fps = load_video(video_path)

@@ -88,7 +88,8 @@ def main():
                                                method=CogVideoVAE.encode),
         vae_decode_window=vae_decode_window,
         text_encode=lambda p, tok: t5.apply(p, tok),
-        tokenizer=default_t5_tokenizer(),
+        tokenizer=default_t5_tokenizer(
+            allow_fallback=args.allow_random_weights),
         params={'dit': dit_params, 'vae': vae_params, 'text': t5_params})
     pipe = CogVideoSRPipeline(bundle, CogSamplerConfig(
         num_steps=args.num_steps, guider_scale=args.guider_scale))

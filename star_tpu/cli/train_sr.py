@@ -109,7 +109,8 @@ def main():
     else:
         raise FileNotFoundError('--pretrained not found; pass '
                                 '--allow_random_weights for a smoke run')
-    bundle = make_bundle(models)
+    bundle = make_bundle(models,
+                         allow_hash_tokenizer=args.allow_random_weights)
 
     mesh = make_mesh(data=args.data_parallel, tensor=args.tensor_parallel)
     cfg = TrainConfig(learning_rate=args.learning_rate,

@@ -179,8 +179,14 @@ class HashTokenizer:
         return result
 
 
-def default_tokenizer(bpe_path: str | None = None):
-    """CLIPTokenizer if a merge table is available, else HashTokenizer."""
+def default_tokenizer(bpe_path: str | None = None,
+                      allow_fallback: bool = False):
+    """CLIPTokenizer if a merge table is available.
+
+    Without the asset this RAISES unless allow_fallback=True (tests /
+    random-weight smoke runs): a hash tokenizer silently feeding a fidelity
+    run would produce garbage with only a log line, the same failure class
+    the random-weights hard gate exists for."""
     candidates = [bpe_path] if bpe_path else []
     candidates += [
         os.environ.get('STAR_TPU_CLIP_BPE', ''),
@@ -189,4 +195,9 @@ def default_tokenizer(bpe_path: str | None = None):
     for c in candidates:
         if c and os.path.exists(c):
             return CLIPTokenizer(c)
+    if not allow_fallback:
+        raise FileNotFoundError(
+            'CLIP BPE merge table not found (set STAR_TPU_CLIP_BPE or pass '
+            'bpe_path). Pass allow_fallback=True only for tests/smoke runs '
+            '— the hash tokenizer is NOT compatible with real weights.')
     return HashTokenizer()

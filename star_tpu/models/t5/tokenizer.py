@@ -60,7 +60,11 @@ class T5HashTokenizer:
         return out
 
 
-def default_t5_tokenizer(spiece_path: str | None = None):
+def default_t5_tokenizer(spiece_path: str | None = None,
+                         allow_fallback: bool = False):
+    """T5 sentencepiece tokenizer; RAISES without the asset unless
+    allow_fallback=True (tests / random-weight smoke runs only — hash ids
+    are not compatible with real T5 weights)."""
     candidates = [spiece_path, os.environ.get('STAR_TPU_T5_SPIECE', ''),
                   os.path.join(os.path.dirname(__file__), 'spiece.model')]
     for c in candidates:
@@ -69,4 +73,9 @@ def default_t5_tokenizer(spiece_path: str | None = None):
                 return T5SentencePieceTokenizer(c)
             except ImportError:
                 break
+    if not allow_fallback:
+        raise FileNotFoundError(
+            'T5 spiece.model not found (set STAR_TPU_T5_SPIECE or pass '
+            'spiece_path). Pass allow_fallback=True only for tests/smoke '
+            'runs.')
     return T5HashTokenizer()

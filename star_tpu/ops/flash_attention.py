@@ -50,15 +50,19 @@ def _divisor_block(s: int, target: int) -> int | None:
 
 def _flash_kernel(*refs, scale: float, masked: bool, fixed_ref: bool,
                   with_l: bool = False):
-    l_ref = None
+    l_ref = m_scr = l_scr = None
     if masked:
         mask_ref, q_ref, k_ref, v_ref, *outs = refs
     else:
         q_ref, k_ref, v_ref, *outs = refs
     if with_l:
-        o_ref, l_ref, m_scr, l_scr, acc_scr = outs
+        o_ref, l_ref, *scr = outs
     else:
-        o_ref, m_scr, l_scr, acc_scr = outs
+        o_ref, *scr = outs
+    if fixed_ref:
+        acc_scr, = scr      # [d+1, bq] transposed accumulator (+l row)
+    else:
+        m_scr, l_scr, acc_scr = scr
     j = pl.program_id(2)
     n_k = pl.num_programs(2)
 
@@ -66,23 +70,12 @@ def _flash_kernel(*refs, scale: float, masked: bool, fixed_ref: bool,
     def _init():
         if not fixed_ref:
             m_scr[:] = jnp.full_like(m_scr, -jnp.inf)
-        l_scr[:] = jnp.zeros_like(l_scr)
+            l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
     q = q_ref[0]                                   # [bq, d]
     k = k_ref[0]                                   # [bk, d]
     v = v_ref[0]                                   # [bk, d]
-
-    # q is pre-scaled by scale*log2(e): logits live in log2 space so the
-    # softmax uses exp2 (the VPU transcendental) without an extra multiply
-    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-
-    if masked:
-        # padded key columns get a -inf additive bias; the bias table is
-        # zeros everywhere except the final block's tail, so this is one
-        # broadcast add instead of a per-step iota+where
-        s = s + mask_ref[0][None, :]
 
     if fixed_ref:
         # fixed-reference softmax: exp2 around 0 instead of the running max.
@@ -91,20 +84,33 @@ def _flash_kernel(*refs, scale: float, masked: bool, fixed_ref: bool,
         # ~ 83 — beyond what a sane attention produces (and beyond what fp16
         # references survive). Removes the max-reduce, the alpha pass and the
         # accumulator rescale — the kernel's VPU bottleneck.
-        p = jnp.exp2(jnp.minimum(s, 120.0))        # [bq, bk] fp32
-        # fold the row-sum into the MXU: v is extended with a ones column, so
-        # p @ [v | 1] yields [acc | l] in one dot — the (bk, 64) rhs occupies
-        # a 128-lane MXU tile anyway, making the extra column free, and the
-        # (bq, bk) VPU reduction disappears.
+        #
+        # TRANSPOSED-PV layout: logits are computed as s^T = k q^T so the
+        # p@v contraction runs as dot(v_ext, p^T) over the key dim — full
+        # 128-lane output (bq) instead of d+1=65 of 128 lanes. The single
+        # [d, bq] -> [bq, d] transpose happens once per q block at finalize,
+        # amortized over all n_k visits. (q is pre-scaled by scale*log2(e):
+        # logits live in log2 space so the softmax is one exp2.)
         d = v.shape[-1]
+        s_t = jax.lax.dot_general(k, q, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        if masked:
+            # padded key ROWS get a -inf additive bias (table stored
+            # transposed: [skv_pad, 8], sublane-aligned)
+            s_t = s_t + mask_ref[:, :1]
+        p_t = jnp.exp2(jnp.minimum(s_t, 120.0))   # [bk, bq] fp32
         ones_col = jnp.ones((v.shape[0], 1), v.dtype)
-        v_ext = jnp.concatenate([v, ones_col], axis=1)
-        out_ext = jax.lax.dot_general(p.astype(v.dtype), v_ext,
-                                      (((1,), (0,)), ((), ())),
-                                      preferred_element_type=jnp.float32)
-        acc_scr[:] += out_ext[:, :d]
-        l_scr[:, :1] += out_ext[:, d:d + 1]
+        v_ext = jnp.concatenate([v, ones_col], axis=1)    # [bk, d+1]
+        out_ext_t = jax.lax.dot_general(v_ext, p_t.astype(v.dtype),
+                                        (((0,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+        acc_scr[:] += out_ext_t                    # [d+1, bq]
     else:
+        # running-max online softmax (reference semantics fallback)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        if masked:
+            s = s + mask_ref[:, 0][None, :]
         m_prev = m_scr[:, :1]                      # [bq, 1]
         l_prev = l_scr[:, :1]
         m_cur = jnp.max(s, axis=1, keepdims=True)  # [bq, 1]
@@ -124,14 +130,21 @@ def _flash_kernel(*refs, scale: float, masked: bool, fixed_ref: bool,
     def _finalize():
         # guard fully-underflowed rows (all log2-logits < -126): weights sum
         # to 0 there; emit 0 instead of NaN
-        denom = jnp.maximum(l_scr[:, :1], 1e-30)
-        o_ref[0] = (acc_scr[:] / denom).astype(o_ref.dtype)
-        if with_l:
-            # softmax denominators for the backward kernel; stored as
-            # [8, bq] (seq on lanes) so the [BH, 8, S] residual has no
-            # tile-padding blowup in HBM
-            l_ref[0] = jnp.broadcast_to(denom.reshape(1, -1),
-                                        l_ref.shape[1:])
+        if fixed_ref:
+            d = v.shape[-1]
+            denom_t = jnp.maximum(acc_scr[d:d + 1, :], 1e-30)   # [1, bq]
+            o_ref[0] = (acc_scr[:d, :] / denom_t).T.astype(o_ref.dtype)
+            if with_l:
+                # softmax denominators for the backward kernel: [BH, S, 8]
+                # with a statically block-mapped (1, bq, 8) store — lane dim
+                # equal to the array dim satisfies the tiling rule for any
+                # bq. Only materialized under differentiation (training).
+                l_ref[0] = jnp.broadcast_to(denom_t.T, (q.shape[0], 8))
+        else:
+            denom = jnp.maximum(l_scr[:, :1], 1e-30)
+            o_ref[0] = (acc_scr[:] / denom).astype(o_ref.dtype)
+            if with_l:
+                l_ref[0] = jnp.broadcast_to(denom, (denom.shape[0], 8))
 
 
 def _flash_fwd(q3: jax.Array, k3: jax.Array, v3: jax.Array, scale: float,
@@ -170,19 +183,19 @@ def _flash_fwd(q3: jax.Array, k3: jax.Array, v3: jax.Array, scale: float,
     out_shape = jax.ShapeDtypeStruct((bh, sq_pad, d), q3.dtype)
     if with_l:
         out_specs = (out_specs,
-                     pl.BlockSpec((1, 8, bq), lambda b, i, j: (b, 0, i)))
+                     pl.BlockSpec((1, bq, 8), lambda b, i, j: (b, i, 0)))
         out_shape = (out_shape,
-                     jax.ShapeDtypeStruct((bh, 8, sq_pad), jnp.float32))
+                     jax.ShapeDtypeStruct((bh, sq_pad, 8), jnp.float32))
     if masked:
-        # additive mask table: 0 for valid cols, -inf on the pad tail. Rows
-        # are repeated 8x so the (8, bk) block satisfies (8, 128) tiling.
-        # Only materialized when padding is actually needed — the hot 720p
-        # shape (S=14400) uses divisor blocks (960) and skips this entirely.
-        cols = np.arange(skv_pad).reshape(n_k, 1, bk)
+        # additive mask table: 0 for valid key rows, -inf on the pad tail;
+        # stored transposed [skv_pad, 8] (keys on sublanes, matching the
+        # transposed logits). Only materialized when padding is needed —
+        # the hot 720p shape (S=14400) uses divisor blocks and skips this.
+        rows = np.arange(skv_pad)[:, None]
         mask_tab = jnp.asarray(
-            np.broadcast_to(np.where(cols < skv, 0.0, -np.inf),
-                            (n_k, 8, bk)).reshape(n_k * 8, bk), jnp.float32)
-        in_specs.insert(0, pl.BlockSpec((8, bk), lambda b, i, j: (j, 0)))
+            np.broadcast_to(np.where(rows < skv, 0.0, -np.inf),
+                            (skv_pad, 8)), jnp.float32)
+        in_specs.insert(0, pl.BlockSpec((bk, 8), lambda b, i, j: (j, 0)))
         inputs.insert(0, mask_tab)
     out = pl.pallas_call(
         kernel,
@@ -190,11 +203,13 @@ def _flash_fwd(q3: jax.Array, k3: jax.Array, v3: jax.Array, scale: float,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
-        scratch_shapes=[
-            pltpu.VMEM((bq, 128), jnp.float32),   # m
-            pltpu.VMEM((bq, 128), jnp.float32),   # l
-            pltpu.VMEM((bq, d), jnp.float32),     # acc
-        ],
+        scratch_shapes=(
+            [pltpu.VMEM((d + 1, bq), jnp.float32)]   # acc^T with l row
+            if fixed_ref else [
+                pltpu.VMEM((bq, 128), jnp.float32),  # m
+                pltpu.VMEM((bq, 128), jnp.float32),  # l
+                pltpu.VMEM((bq, d), jnp.float32),    # acc
+            ]),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=('parallel', 'parallel', 'arbitrary')),
         cost_estimate=pl.CostEstimate(
@@ -205,14 +220,15 @@ def _flash_fwd(q3: jax.Array, k3: jax.Array, v3: jax.Array, scale: float,
     )(*inputs)
     if with_l:
         out, l = out
-        return out[:, :sq], l[:, 0, :sq]
+        return out[:, :sq], l[:, :sq, 0]
     return out[:, :sq]
 
 
 LOG2E = 1.4426950408889634
 LN2 = 0.6931471805599453
-DEFAULT_BWD_BQ = 512    # backward holds a full [Sq, D] fp32 dq block plus
-DEFAULT_BWD_BK = 512    # three [bq, bk] fp32 temps in VMEM - smaller blocks
+DEFAULT_BWD_BQ = 384    # backward holds a full [Sq, D] fp32 dq block plus
+DEFAULT_BWD_BK = 384    # ~4 [bq, bk] fp32 temps in VMEM — 512 blocks blew
+#                         the 16MB scoped-vmem limit by 0.8MB at S=14400
 
 
 def _flash_bwd_kernel(qs_ref, g_ref, k_ref, v_ref, dq_ref, dk_ref, dv_ref,

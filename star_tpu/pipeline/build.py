@@ -62,11 +62,14 @@ def cast_floating(tree, dtype):
 
 
 def make_bundle(models: StarModels, tokenizer=None,
-                param_dtype=None) -> ModelBundle:
+                param_dtype=None,
+                allow_hash_tokenizer: bool = False) -> ModelBundle:
     """Params travel inside the bundle pytree (NOT closures — see
     ModelBundle docstring). param_dtype=jnp.bfloat16 halves weight HBM for
-    inference."""
-    tokenizer = tokenizer or default_tokenizer()
+    inference. Without a real BPE asset this raises unless
+    allow_hash_tokenizer=True (smoke/benchmark runs)."""
+    tokenizer = tokenizer or default_tokenizer(
+        allow_fallback=allow_hash_tokenizer)
     params = {'unet': models.unet_params, 'vae': models.vae_params,
               'text': models.text_params}
     if param_dtype is not None:
@@ -85,5 +88,7 @@ def make_bundle(models: StarModels, tokenizer=None,
 
 def build_pipeline(models: StarModels,
                    config: PipelineConfig = PipelineConfig(),
-                   tokenizer=None, param_dtype=None) -> STARPipeline:
-    return STARPipeline(make_bundle(models, tokenizer, param_dtype), config)
+                   tokenizer=None, param_dtype=None,
+                   allow_hash_tokenizer: bool = False) -> STARPipeline:
+    return STARPipeline(make_bundle(models, tokenizer, param_dtype,
+                                    allow_hash_tokenizer), config)
