@@ -30,8 +30,15 @@ def parse_args():
     p.add_argument('--seed', type=int, default=0)
     p.add_argument('--no_codec', action='store_true',
                    help='skip the H.264/mpeg4 re-encode stage')
-    p.add_argument('--process_index', type=int, default=0)
-    p.add_argument('--process_count', type=int, default=1)
+    # rank striding defaults from the standard launcher env (so one command
+    # line works under SLURM/GKE array jobs and jax multi-host alike)
+    p.add_argument('--process_index', type=int,
+                   default=int(os.environ.get('JAX_PROCESS_ID',
+                                              os.environ.get('RANK', 0))))
+    p.add_argument('--process_count', type=int,
+                   default=int(os.environ.get('JAX_NUM_PROCESSES',
+                                              os.environ.get('WORLD_SIZE',
+                                                             1))))
     return p.parse_args()
 
 

@@ -49,6 +49,14 @@ def parse_args():
                    help='mesh tensor axis (Megatron-style head/MLP sharding)')
     p.add_argument('--ema_decay', type=float, default=0.0,
                    help='EMA of params; reference default 0.9999, 0 = off')
+    p.add_argument('--sample_every', type=int, default=0,
+                   help='decode a denoise preview of the current batch every '
+                        'N steps into output_dir/samples (engine log_video '
+                        'counterpart); 0 = off')
+    p.add_argument('--coordinator', default=None,
+                   help='host:port for multi-host jax.distributed init '
+                        '(replaces the reference torchrun/NCCL bootstrap; '
+                        'also honors JAX_COORDINATOR_ADDRESS)')
     return p.parse_args()
 
 
@@ -88,7 +96,8 @@ def main():
 
     from ..data.dataset import PairedCaptionVideoDataset
     from ..diffusion import DiffusionTables, default_star_schedule
-    from ..parallel import AXIS_DATA, make_mesh, shard_params
+    from ..parallel import AXIS_DATA, init_distributed, make_hybrid_mesh, \
+        make_mesh, shard_params
     from ..pipeline.build import init_random_models, make_bundle
     from ..train import TrainConfig, TrainState, make_train_state, \
         make_train_step
@@ -96,6 +105,11 @@ def main():
     from ..utils.seed import setup_seed
 
     logger = get_logger()
+    proc_idx, proc_cnt = init_distributed(args.coordinator)
+    if proc_cnt > 1:
+        logger.info('multi-host: process %d/%d, %d local / %d global devices',
+                    proc_idx, proc_cnt, jax.local_device_count(),
+                    jax.device_count())
     key = setup_seed(args.seed)
     os.makedirs(args.output_dir, exist_ok=True)
 
@@ -112,7 +126,11 @@ def main():
     bundle = make_bundle(models,
                          allow_hash_tokenizer=args.allow_random_weights)
 
-    mesh = make_mesh(data=args.data_parallel, tensor=args.tensor_parallel)
+    # multi-host: 'data' strides across hosts (DCN), TP stays on ICI
+    mesh = (make_hybrid_mesh(data=args.data_parallel,
+                             tensor=args.tensor_parallel) if proc_cnt > 1
+            else make_mesh(data=args.data_parallel,
+                           tensor=args.tensor_parallel))
     cfg = TrainConfig(learning_rate=args.learning_rate,
                       max_grad_norm=args.max_grad_norm,
                       freq_loss=args.freq_loss,
@@ -126,13 +144,15 @@ def main():
             state = state._replace(
                 opt_state=shard_opt_state(state.opt_state, mesh))
         tables = DiffusionTables.from_schedule(default_star_schedule())
-        step_fn = jax.jit(make_train_step(
+        raw_step = make_train_step(
             cfg,
             lambda p, x, t, y, hint: models.unet.apply(p, x, t, y, hint,
                                                        deterministic=True),
             tables, tx,
             vae_decode=(lambda z: bundle.vae_decode(
-                bundle.params['vae'], z)) if args.freq_loss else None))
+                bundle.params['vae'], z)) if args.freq_loss else None)
+        step_fn = jax.jit(raw_step)
+        preview_fn = jax.jit(raw_step.preview_x0)
 
         ckpt_dir = os.path.abspath(os.path.join(args.output_dir, 'ckpt'))
         mngr = ocp.CheckpointManager(ckpt_dir, options=ocp.CheckpointManagerOptions(
@@ -154,6 +174,9 @@ def main():
         t_last = time.time()
         global_batch = args.batch_size * args.data_parallel
         for step in range(start_step, args.max_train_steps):
+            # every process iterates the SAME seeded dataset, so the global
+            # batch is identical host-side and device_put to the host-spanning
+            # 'data' sharding is well-defined (each host keeps its shard)
             samples, it = collect_samples(it, lambda: iter(ds), global_batch)
             gt_np, lq_np, texts = stack_batch(samples)
             gt = jax.device_put(jnp.asarray(gt_np), batch_sh)
@@ -169,6 +192,16 @@ def main():
             if args.freq_loss:
                 batch['gt_pixels'] = jax.device_put(gt, batch_sh)
             state, metrics = step_fn(state, batch, k_step)
+            if args.sample_every and (step + 1) % args.sample_every == 0 \
+                    and args.freq_loss and jax.process_index() == 0:
+                from ..data.io import save_video
+                k_prev, key = jax.random.split(key)
+                pix = preview_fn(state.params, batch, k_prev)
+                frames = np.asarray(jax.device_get(
+                    jnp.clip(pix[0].astype(jnp.float32) * 0.5 + 0.5, 0, 1)
+                    * 255)).astype(np.uint8)
+                save_video(frames, os.path.join(args.output_dir, 'samples'),
+                           f'step{step + 1:06d}.mp4', fps=8)
             mngr.save(step + 1, args=ocp.args.StandardSave(state))
             if jax.process_index() == 0:
                 row = {k: float(v) for k, v in metrics.items()}

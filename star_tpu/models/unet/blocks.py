@@ -253,10 +253,14 @@ class TemporalAttentionInplace(nn.Module):
         v = dense(inner, 'to_v', False)(x).reshape(b, f, n, self.num_heads,
                                                    self.head_dim)
         scale = 1.0 / np.sqrt(self.head_dim)
-        logits = jnp.einsum('bfnhd,bgnhd->bnhfg', q, k,
+        # keep the big token dim n MINOR in the logits/probs layout: with f,g
+        # (= frames, ~8) minor, the (8,128) tile pads 8 lanes of 128 and every
+        # VPU pass runs at 1/16 efficiency — profiled at 30 ms/instance at
+        # stage 0 vs <2 ms in this n-minor form
+        logits = jnp.einsum('bfnhd,bgnhd->bhfgn', q, k,
                             preferred_element_type=jnp.float32) * scale
-        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
-        out = jnp.einsum('bnhfg,bgnhd->bfnhd', probs.astype(self.dtype), v,
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=3)
+        out = jnp.einsum('bhfgn,bgnhd->bfnhd', probs.astype(self.dtype), v,
                          preferred_element_type=jnp.float32).astype(self.dtype)
         out = out.reshape(b, f, n, inner)
         return dense(self.out_dim, 'to_out', True)(out)

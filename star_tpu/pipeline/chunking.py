@@ -67,15 +67,33 @@ def stitch_slices(chunk_inds: Sequence[Tuple[int, int]]):
 def chunked_x0_fn(denoise_chunk: Callable[[jax.Array, jax.Array, jax.Array],
                                           jax.Array],
                   hint: jax.Array,
-                  chunk_inds: Sequence[Tuple[int, int]]):
+                  chunk_inds: Sequence[Tuple[int, int]],
+                  mesh=None):
     """Build a whole-video x0 function from a per-chunk denoiser.
 
     denoise_chunk(xt_chunk, hint_chunk, t) -> x0_chunk, where the leading dim
     may batch several equal-length windows.
     xt/hint are [B, F, H, W, C]; chunking is over F.
+
+    mesh: optional jax.sharding.Mesh — the folded window batch is sharded
+    over its 'data' axis when divisible (the windows are independent within
+    a solver step, so a long video scales across chips with zero collectives
+    inside the UNet; the reference runs them as a serial python loop,
+    diffusion_sdedit.py:330-353).
     """
     chunk_inds = list(chunk_inds)
     spans = stitch_slices(chunk_inds)
+
+    def maybe_shard(a: jax.Array) -> jax.Array:
+        if mesh is None:
+            return a
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from ..parallel.mesh import AXIS_DATA
+        n = mesh.shape.get(AXIS_DATA, 1)
+        if n > 1 and a.shape[0] % n == 0:
+            return jax.lax.with_sharding_constraint(
+                a, NamedSharding(mesh, P(AXIS_DATA)))
+        return a
 
     def x0_fn(xt: jax.Array, t: jax.Array) -> jax.Array:
         if len(chunk_inds) == 1:
@@ -91,7 +109,7 @@ def chunked_x0_fn(denoise_chunk: Callable[[jax.Array, jax.Array, jax.Array],
                 [xt[:, s:e] for (s, e) in (chunk_inds[i] for i in idxs)], axis=0)
             hs = jnp.concatenate(
                 [hint[:, s:e] for (s, e) in (chunk_inds[i] for i in idxs)], axis=0)
-            x0s = denoise_chunk(xs, hs, t)
+            x0s = denoise_chunk(maybe_shard(xs), maybe_shard(hs), t)
             for k, i in enumerate(idxs):
                 results[i] = x0s[k * b:(k + 1) * b]
         pieces = [results[i][:, s0:s1] for i, (s0, s1) in enumerate(spans)]

@@ -54,11 +54,14 @@ class STARPipeline:
 
     def __init__(self, models: ModelBundle,
                  config: PipelineConfig = PipelineConfig(),
-                 schedule: Optional[Schedule] = None):
+                 schedule: Optional[Schedule] = None, mesh=None):
+        """mesh: optional Mesh — the solver's independent chunk windows are
+        sharded over its 'data' axis (multi-chip long-video scaling)."""
         self.models = models
         self.cfg = config
         self.schedule = schedule or default_star_schedule()
         self.tables = DiffusionTables.from_schedule(self.schedule)
+        self.mesh = mesh
         self._run_cache = {}
         self._text_cache = {}
 
@@ -116,7 +119,8 @@ class STARPipeline:
                                      guide_scale=sc.guide_scale,
                                      guide_rescale=sc.guide_rescale)
 
-            x0_fn = chunked_x0_fn(denoise_chunk, z_lq, chunk_inds)
+            x0_fn = chunked_x0_fn(denoise_chunk, z_lq, chunk_inds,
+                                  mesh=self.mesh)
             solver = (sample_dpmpp_2m_sde if sc.solver == 'dpmpp_2m_sde'
                       else sample_heun)
             gen = solver(x0_fn, noised, self.schedule, sigmas, k_solve)

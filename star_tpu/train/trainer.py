@@ -120,6 +120,19 @@ def make_train_step(cfg: TrainConfig,
         return star_sr_loss(v_pred, v_target, t, pred_pixels, gt_pixels,
                             freq_grad=cfg.freq_grad)
 
+    def preview_x0(params, batch, key, t_fixed: int = 499):
+        """One-shot denoise of the batch at a fixed t -> predicted pixels
+        (training preview; counterpart of the reference engine's log_video,
+        diffusion_video.py:293-380). Requires vae_decode."""
+        b = batch['gt_latent'].shape[0]
+        t = jnp.full((b,), t_fixed, jnp.int32)
+        gt = batch['gt_latent'].astype(jnp.float32)
+        noise = jax.random.normal(key, gt.shape, jnp.float32)
+        noised = diffuse(tables, gt, t, noise)
+        v = unet_apply(params, noised, t, batch['y'], batch['lq_latent'])
+        x0 = get_x0(tables, v.astype(jnp.float32), noised, t)
+        return vae_decode(x0) if vae_decode is not None else x0
+
     def train_step(state: TrainState, batch, key):
         kt, kn = jax.random.split(key)
         b = batch['gt_latent'].shape[0]
@@ -138,4 +151,5 @@ def make_train_step(cfg: TrainConfig,
         metrics['grad_norm'] = optax.global_norm(grads)
         return new_state, metrics
 
+    train_step.preview_x0 = preview_x0
     return train_step

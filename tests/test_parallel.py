@@ -58,3 +58,47 @@ def test_sharded_matmul_correctness(eight_devices):
 def test_dryrun_multichip_entry():
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)
+
+
+def test_hybrid_mesh_layout(eight_devices):
+    """'data' axis strides across process blocks; tensor*context contiguous
+    within one host's devices (single-process here, but the ordering
+    invariant is what keeps TP/CP on ICI in multi-host runs)."""
+    from star_tpu.parallel import init_distributed, make_hybrid_mesh
+
+    idx, cnt = init_distributed()      # no coordinator -> no-op
+    assert idx == 0 and cnt == 1
+    mesh = make_hybrid_mesh(data=2, tensor=2, context=2)
+    assert mesh.shape == {'data': 2, 'tensor': 2, 'context': 2}
+    arr = mesh.devices
+    # inner (tensor, context) block of data-row 0 = first 4 device ids
+    inner_ids = sorted(d.id for d in arr[0].flatten())
+    assert inner_ids == sorted(d.id for d in jax.devices()[:4])
+    # data=-1 fills all devices
+    mesh_all = make_hybrid_mesh(tensor=2)
+    assert mesh_all.shape['data'] == 4
+
+
+def test_chunk_windows_shard_over_data(eight_devices):
+    """chunked_x0_fn shards the folded window batch over 'data' and the
+    stitched output matches the unsharded path."""
+    import jax.numpy as jnp
+    from star_tpu.pipeline.chunking import chunked_x0_fn, make_chunks
+
+    f = 14
+    chunk_inds = make_chunks(f, 4)         # six equal 4-frame windows
+    assert len(chunk_inds) == 6
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, f, 4, 4, 2))
+    hint = jax.random.normal(jax.random.PRNGKey(1), (1, f, 4, 4, 2))
+
+    def denoise(xc, hc, t):
+        return xc * 0.5 + hc * 0.1 + t
+
+    ref_fn = chunked_x0_fn(denoise, hint, chunk_inds)
+    ref = ref_fn(x, jnp.float32(0.3))
+
+    mesh = make_mesh(data=2)
+    sh_fn = chunked_x0_fn(denoise, hint, chunk_inds, mesh=mesh)
+    with mesh:
+        got = jax.jit(sh_fn)(x, jnp.float32(0.3))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)

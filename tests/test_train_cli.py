@@ -149,3 +149,19 @@ def test_cli_batch_collection_cycles_and_stacks():
     assert gt.shape == (5, 2, 4, 4, 3) and lq.shape == gt.shape
     assert texts == ['t0', 't1', 't2', 't0', 't1']
     assert gt[2, 0, 0, 0, 0] == 2.0
+
+
+def test_preview_x0_shape(setup):
+    """trainer preview hook (log_video counterpart) returns decodable x0."""
+    m, params, (x, t, y, hint) = setup
+    cfg = TrainConfig(freq_loss=False)
+    tables = DiffusionTables.from_schedule(default_star_schedule())
+    _, tx = make_train_state(cfg, params)
+    step = make_train_step(
+        cfg, lambda p, xx, tt, yy, hh: m.apply(p, xx, tt, yy, hh), tables, tx,
+        vae_decode=None)
+    batch = {'gt_latent': x, 'lq_latent': x,
+             'y': jax.random.normal(jax.random.PRNGKey(3), (2, 7, 32))}
+    x0 = step.preview_x0(params, batch, jax.random.PRNGKey(0))
+    assert x0.shape == x.shape
+    assert np.isfinite(np.asarray(x0)).all()
