@@ -28,6 +28,7 @@ from flax import linen as nn
 from ...ops.attention import dot_product_attention
 from ...ops.norms import group_norm, layer_norm
 from ...ops.resize import upsample2x_nearest
+from ...ops.temporal_attention import temporal_attention
 
 
 def sinusoidal_embedding(t: jax.Array, dim: int) -> jax.Array:
@@ -246,24 +247,18 @@ class TemporalAttentionInplace(nn.Module):
         inner = self.num_heads * self.head_dim
         dense = lambda feats, name, bias: nn.Dense(
             feats, use_bias=bias, dtype=self.dtype, name=name)
-        q = dense(inner, 'to_q', False)(x).reshape(b, f, n, self.num_heads,
-                                                   self.head_dim)
-        k = dense(inner, 'to_k', False)(x).reshape(b, f, n, self.num_heads,
-                                                   self.head_dim)
-        v = dense(inner, 'to_v', False)(x).reshape(b, f, n, self.num_heads,
-                                                   self.head_dim)
-        scale = 1.0 / np.sqrt(self.head_dim)
-        # keep the big token dim n MINOR in the logits/probs layout: with f,g
-        # (= frames, ~8) minor, the (8,128) tile pads 8 lanes of 128 and every
-        # VPU pass runs at 1/16 efficiency — profiled at 30 ms/instance at
-        # stage 0 vs <2 ms in this n-minor form
-        logits = jnp.einsum('bfnhd,bgnhd->bhfgn', q, k,
-                            preferred_element_type=jnp.float32) * scale
-        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=3)
-        out = jnp.einsum('bhfgn,bgnhd->bfnhd', probs.astype(self.dtype), v,
-                         preferred_element_type=jnp.float32).astype(self.dtype)
-        out = out.reshape(b, f, n, inner)
-        return dense(self.out_dim, 'to_out', True)(out)
+        # q/k/v stay in the [B, F, N, H*D] layout the Dense produces; the
+        # fused kernel (ops/temporal_attention.py) runs the whole
+        # logits/softmax/pv chain with N on the vector lanes. The previous
+        # einsum formulation made XLA materialize 5.5 GB/s head-split shuffle
+        # copies of every operand plus fp32 [b,n,h,f,g] probability arrays —
+        # the largest copy family in the r2b full-step trace.
+        q = dense(inner, 'to_q', False)(x)
+        k = dense(inner, 'to_k', False)(x)
+        v = dense(inner, 'to_v', False)(x)
+        out = temporal_attention(q, k, v, self.num_heads)
+        return nn.Dense(self.out_dim, use_bias=True, dtype=self.dtype,
+                        name='to_out')(out)
 
 
 class TemporalTransformer(nn.Module):
