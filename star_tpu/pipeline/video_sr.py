@@ -136,6 +136,36 @@ class STARPipeline:
 
         return jax.jit(run)
 
+    # ---------------------------------------------------------- cache warming
+    def warm(self, f: int, h: int, w: int,
+             target_res: Optional[tuple[int, int]] = None) -> float:
+        """AOT-compile the whole-clip graph for one shape bucket WITHOUT
+        running it (and without real weights — abstract params suffice).
+
+        With the persistent compile cache enabled (utils/cache.py), a
+        deployment can warm every production shape bucket ahead of traffic;
+        the reference pays its first-clip compile... nothing, it's eager —
+        this is the TPU-side counterpart of that cost, paid once offline.
+        Returns the estimated FLOPs of the compiled graph (cost analysis).
+        """
+        if target_res is None:
+            target_h, target_w = h * self.cfg.upscale, w * self.cfg.upscale
+        else:
+            target_h, target_w = target_res
+        bucket = (f, h, w, target_h, target_w)
+        run = self._build_run(*bucket)
+        sds = lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype)
+        p_abs = jax.tree.map(sds, self.models.params)
+        tok_abs = jax.ShapeDtypeStruct((1, 77), jnp.int32)
+        y_abs = sds(jax.eval_shape(self.models.text_encode, p_abs['text'],
+                                   tok_abs))
+        lowered = run.lower(
+            p_abs, jax.ShapeDtypeStruct((f, h, w, 3), jnp.float32),
+            y_abs, y_abs, jax.ShapeDtypeStruct((2,), jnp.uint32))
+        compiled = lowered.compile()
+        cost = compiled.cost_analysis() or {}
+        return float(cost.get('flops', 0.0))
+
     # ------------------------------------------------------------- interface
     def enhance_a_video(self, frames: np.ndarray, prompt: str,
                         seed: int = 666,

@@ -107,3 +107,16 @@ def test_chunked_path_runs(pipeline):
               .astype(np.uint8))
     out = pipeline.enhance_a_video(frames, 'chunked', seed=7)
     assert out.shape == (12, 144, 64, 3)
+
+
+def test_warm_compiles_bucket_from_abstract_params(pipeline):
+    """warm() AOT-compiles a shape bucket without weights or execution
+    (deployment cache-warming path, cli/warm_cache.py)."""
+    import copy
+    p_abs = jax.tree.map(lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype),
+                         pipeline.models.params)
+    shadow = copy.copy(pipeline)
+    shadow.models = ModelBundle(**{**pipeline.models.__dict__,
+                                   'params': p_abs})
+    flops = shadow.warm(6, 36, 16)
+    assert flops >= 0.0
