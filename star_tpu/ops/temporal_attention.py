@@ -104,16 +104,21 @@ def _temporal_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, h: int,
                 denoms[hh] = denoms[hh] + p
                 row.append(p)
             probs.append(row)
-        inv = [1.0 / jnp.maximum(dn, 1e-30) for dn in denoms]
 
+        # accumulate with UNNORMALIZED exp2 weights (bf16 spans the same
+        # exponent range as fp32, so 2^<=120 weights are representable) and
+        # divide once at the end — one full-width multiply instead of G·H
+        # padded one-lane normalizations
         acc = jnp.zeros((f, nb, w), jnp.float32)
         for g in range(f):
             pg = jnp.concatenate(
-                [jnp.broadcast_to((probs[g][hh] * inv[hh])
-                                  .astype(qp.dtype), (f, nb, d))
+                [jnp.broadcast_to(probs[g][hh].astype(qp.dtype), (f, nb, d))
                  for hh in range(nheads)], axis=-1)       # [F, nb, w]
             acc = acc + (pg * vp[g][None]).astype(jnp.float32)
-        outs.append(acc)
+        inv = jnp.concatenate(
+            [jnp.broadcast_to(1.0 / jnp.maximum(dn, 1e-30), (f, nb, d))
+             for dn in denoms], axis=-1)                  # [F, nb, w] fp32
+        outs.append(acc * inv)
     o_ref[0] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
 
 
