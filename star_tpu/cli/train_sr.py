@@ -165,19 +165,23 @@ def main():
             state = restored
             logger.info('resumed from step %d', start_step)
 
+        from ..data.prefetch import PrefetchIterator
         ds = PairedCaptionVideoDataset(args.data_root, args.num_frames,
                                        seed=args.seed)
+        global_batch = args.batch_size * args.data_parallel
+        # background-thread decode overlaps the device step (the reference's
+        # DataLoader(num_workers) counterpart; cv2 releases the GIL)
+        make_it = lambda: PrefetchIterator(ds, depth=2 * global_batch)
         batch_sh = NamedSharding(mesh, P(AXIS_DATA))
         metrics_path = os.path.join(args.output_dir, 'metrics.jsonl')
 
-        it = iter(ds)
+        it = make_it()
         t_last = time.time()
-        global_batch = args.batch_size * args.data_parallel
         for step in range(start_step, args.max_train_steps):
             # every process iterates the SAME seeded dataset, so the global
             # batch is identical host-side and device_put to the host-spanning
             # 'data' sharding is well-defined (each host keeps its shard)
-            samples, it = collect_samples(it, lambda: iter(ds), global_batch)
+            samples, it = collect_samples(it, make_it, global_batch)
             gt_np, lq_np, texts = stack_batch(samples)
             gt = jax.device_put(jnp.asarray(gt_np), batch_sh)
             lq = jax.device_put(jnp.asarray(lq_np), batch_sh)

@@ -57,3 +57,34 @@ def test_shard_for_process():
     b = shard_for_process(items, 1, 3)
     c = shard_for_process(items, 2, 3)
     assert sorted(a + b + c) == items
+
+
+def test_prefetch_iterator_yields_all_and_propagates_errors():
+    from star_tpu.data.prefetch import PrefetchIterator, prefetched
+    import time
+
+    out = list(PrefetchIterator(range(10), depth=3))
+    assert out == list(range(10))
+
+    # error in the producer surfaces at the consumer
+    def bad():
+        yield 1
+        raise RuntimeError('decode failed')
+    it = PrefetchIterator(bad(), depth=2)
+    assert next(it) == 1
+    try:
+        next(it)
+        raise AssertionError('expected RuntimeError')
+    except RuntimeError as e:
+        assert 'decode failed' in str(e)
+
+    # close() stops a producer stuck on a full queue
+    slow = PrefetchIterator(iter(range(1000)), depth=1)
+    assert next(slow) == 0
+    slow.close()
+    time.sleep(0.3)
+    assert not slow._thread.is_alive()
+
+    # factory version returns fresh iterators (epoch reset contract)
+    f = prefetched(lambda: range(3), depth=2)
+    assert list(f()) == [0, 1, 2] and list(f()) == [0, 1, 2]
