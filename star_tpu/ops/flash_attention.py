@@ -35,9 +35,12 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEFAULT_BQ = 1440   # swept on v5e at seq 14400/d 64 (tools/sweep_flash.py):
-DEFAULT_BK = 1440   # 1440x1440 85.5ms vs 1024x1024 90.5ms; divisor blocks
-#                     also kill the 14400->15360 and 3680->4096 pad copies
+DEFAULT_BQ = 2880   # swept on v5e at seq 14400/d 64 (tools/sweep_flash.py):
+DEFAULT_BK = 960    # r2 sweep: (2880,960) 70.1ms < (2880,720) 71.3 <
+#                     (1440,1440) 72.6 < (1024,1024)+pad 90.5 per call; the
+#                     tall q block amortizes the finalize transpose, divisor
+#                     blocks kill the 14400->15360 / 3680->4096 pad copies.
+#                     (2880,1440)/(1440,2880) blow the scoped-vmem limit.
 
 
 def _divisor_block(s: int, target: int) -> int | None:

@@ -41,8 +41,8 @@ def main():
     flops = 4.0 * bh * s * s * d
 
     ref = None
-    configs = [(1024, 1024), (960, 960), (960, 1440), (1440, 960),
-               (480, 1440), (960, 480), (720, 2880), (1440, 1440)]
+    configs = [(1440, 1440), (2880, 1440), (2880, 720), (1440, 2880),
+               (2880, 960), (4800, 720), (720, 1440)]
     for bq, bk in configs:
         try:
             fn = jax.jit(lambda q, k, v, bq=bq, bk=bk: flash_attention(
