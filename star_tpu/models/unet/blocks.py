@@ -29,6 +29,7 @@ from ...ops.attention import dot_product_attention
 from ...ops.norms import group_norm, layer_norm
 from ...ops.resize import upsample2x_nearest
 from ...ops.temporal_attention import temporal_attention
+from ...ops.temporal_conv import TemporalConv3
 
 
 def sinusoidal_embedding(t: jax.Array, dim: int) -> jax.Array:
@@ -289,49 +290,12 @@ class TemporalTransformer(nn.Module):
         return x.reshape(b, f, h, w, c) + x_in
 
 
-class _TemporalConvTaps(nn.Module):
-    """3-tap temporal conv as three frame-shifted matmuls.
-
-    Param tree matches nn.Conv((3,1)) exactly ('kernel' [3,1,Cin,Cout] +
-    'bias'), so converters/checkpoints are interchangeable — but the compute
-    is Σ_δ x[f+δ] @ W[δ]: the activation never leaves its [.., C]-minor
-    layout. XLA's lowering of the (3,1) conv on [B,F,HW,C] picked a
-    split-spatial {HW/8-major} layout that ran at ~28 TF/s AND forced the
-    upstream fp32 GroupNorm coefficient broadcast to materialize + relayout
-    (the f32 [8,16,1800,320] copy/reshape families, ~70 ms/step in the r2c
-    trace); plain gemms fuse with the GN apply like every other Dense."""
-    channels: int
-    in_channels: int
-    zero_init: bool = False
-    dtype: jnp.dtype = jnp.float32
-
-    @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
-        # x: [B, F, N, Cin]
-        b, f, n, cin = x.shape
-        init = (nn.initializers.zeros if self.zero_init
-                else nn.initializers.lecun_normal())
-        kernel = self.param('kernel', init, (3, 1, cin, self.channels),
-                            jnp.float32)
-        bias = self.param('bias', nn.initializers.zeros, (self.channels,),
-                          jnp.float32)
-        # im2col on the (cheap, lane-wise) channel axis: one
-        # [B*F*N, 3*Cin] x [3*Cin, Cout] gemm — the same shape class as the
-        # ResBlock 3x3 convs that sustain 120-195 TF/s
-        kb = kernel[:, 0].reshape(3 * cin, self.channels).astype(self.dtype)
-        xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0)))
-        xs = jnp.concatenate([xp[:, tap:tap + f] for tap in range(3)],
-                             axis=-1)                     # [B, F, N, 3*Cin]
-        y = jnp.einsum('bfnc,cd->bfnd', xs, kb,
-                       preferred_element_type=jnp.float32)
-        return (y + bias.astype(jnp.float32)).astype(self.dtype)
-
-
 class TemporalConvBlockV2(nn.Module):
     """4x (GN+SiLU+[Dropout]+Conv k=(3,1,1)) residual temporal conv
     (unet_v2v.py:1194-1278). Channels-last: the (3,1,1) Conv3d over
-    [B,C,F,H,W] is a 3-tap matmul conv over [B, F, HW, C]
-    (_TemporalConvTaps)."""
+    [B,C,F,H,W] is a 3-tap im2col-matmul conv over [B, F, HW, C]
+    (ops.temporal_conv — XLA's native (3,1)-conv lowering ran at ~28 TF/s
+    and materialized fp32 GN-coefficient broadcasts)."""
     channels: int
     dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32
@@ -344,14 +308,12 @@ class TemporalConvBlockV2(nn.Module):
         x = x.reshape(b, f, h * w, c)
 
         def conv_stage(x, name, first):
-            cin = x.shape[-1]
             x = GroupNorm(name=f'{name}_norm')(x)
             x = jax.nn.silu(x.astype(jnp.float32)).astype(self.dtype)
             if not first and self.dropout > 0:
                 x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
-            return _TemporalConvTaps(self.channels, cin,
-                                     zero_init=(name == 'conv4'),
-                                     dtype=self.dtype, name=f'{name}')(x)
+            return TemporalConv3(self.channels, zero_init=(name == 'conv4'),
+                                 dtype=self.dtype, name=f'{name}')(x)
 
         x = conv_stage(x, 'conv1', True)
         x = conv_stage(x, 'conv2', False)

@@ -26,6 +26,7 @@ from flax import linen as nn
 
 from ..ops.norms import group_norm
 from ..ops.resize import upsample2x_nearest
+from ..ops.temporal_conv import TemporalConv3
 
 SVD_VAE_SCALING = 0.18215
 
@@ -75,12 +76,12 @@ class TemporalResnetBlock(nn.Module):
         xf = x.reshape(b, f, hh * ww, c)
         h = GroupNorm(name='norm1')(xf)
         h = jax.nn.silu(h.astype(jnp.float32)).astype(self.dtype)
-        h = nn.Conv(self.out_channels, (3, 1), padding=((1, 1), (0, 0)),
-                    dtype=self.dtype, name='conv1')(h)
+        h = TemporalConv3(self.out_channels, dtype=self.dtype,
+                          name='conv1')(h)
         h = GroupNorm(name='norm2')(h)
         h = jax.nn.silu(h.astype(jnp.float32)).astype(self.dtype)
-        h = nn.Conv(self.out_channels, (3, 1), padding=((1, 1), (0, 0)),
-                    dtype=self.dtype, name='conv2')(h)
+        h = TemporalConv3(self.out_channels, dtype=self.dtype,
+                          name='conv2')(h)
         if c != self.out_channels:
             xf = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
                          name='conv_shortcut')(xf)

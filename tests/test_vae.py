@@ -76,3 +76,21 @@ def test_roundtrip_preserves_shape(vae):
     out = m.apply(params, video)
     assert out.shape == video.shape
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_temporal_conv3_matches_native_conv():
+    """Both gemm/conv spellings of the 3-tap temporal conv agree with
+    lax.conv for any activation size (the op auto-selects by size)."""
+    import jax.numpy as jnp
+    from star_tpu.ops.temporal_conv import temporal_conv3
+
+    key = jax.random.split(jax.random.PRNGKey(0), 3)
+    x = jax.random.normal(key[0], (2, 5, 48, 16), jnp.float32)
+    kern = jax.random.normal(key[1], (3, 1, 16, 24), jnp.float32) * 0.1
+    bias = jax.random.normal(key[2], (24,), jnp.float32)
+    ref = jax.lax.conv_general_dilated(
+        x, kern, (1, 1), [(1, 1), (0, 0)],
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+    got = temporal_conv3(x, kern, bias)
+    np.testing.assert_allclose(np.asarray(got),
+                               np.asarray(ref + bias), rtol=2e-5, atol=2e-5)
