@@ -51,8 +51,25 @@ def temporal_conv3(x: jax.Array, kernel: jax.Array,
     return (y + bias.astype(jnp.float32)).astype(x.dtype)
 
 
+def temporal_conv3_video(x5: jax.Array, kernel: jax.Array,
+                         bias: jax.Array) -> jax.Array:
+    """5-D variant: x5 [B, F, H, W, C] through a real (3,1,1) conv — keeps
+    the VAE's temporal blocks in the SAME layout as the surrounding spatial
+    convs, so XLA never relayouts between a flat [B,F,HW,C] stream and the
+    NHWC stream."""
+    k5 = kernel.reshape(3, 1, 1, kernel.shape[2], kernel.shape[3]) \
+        .astype(x5.dtype)
+    y = jax.lax.conv_general_dilated(
+        x5, k5, (1, 1, 1), [(1, 1), (0, 0), (0, 0)],
+        dimension_numbers=('NDHWC', 'DHWIO', 'NDHWC'),
+        preferred_element_type=jnp.float32)
+    return (y + bias.astype(jnp.float32)).astype(x5.dtype)
+
+
 class TemporalConv3(nn.Module):
-    """Flax wrapper with nn.Conv((3,1))'s param tree."""
+    """Flax wrapper with nn.Conv((3,1))'s param tree; accepts [B, F, N, C]
+    (gemm/conv spellings by size) or [B, F, H, W, C] (layout-preserving
+    (3,1,1) conv)."""
     features: int
     zero_init: bool = False
     dtype: jnp.dtype = jnp.float32
@@ -66,4 +83,6 @@ class TemporalConv3(nn.Module):
                             jnp.float32)
         bias = self.param('bias', nn.initializers.zeros, (self.features,),
                           jnp.float32)
+        if x.ndim == 5:
+            return temporal_conv3_video(x.astype(self.dtype), kernel, bias)
         return temporal_conv3(x.astype(self.dtype), kernel, bias)

@@ -72,9 +72,12 @@ class TemporalResnetBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        # stays 5-D [B, F, H, W, C] end to end: the temporal (3,1,1) convs
+        # run in the same NHWC-style layout as the surrounding spatial
+        # blocks (a flat [B,F,HW,C] stream made XLA relayout the fp32
+        # conv accumulators at every spatial<->temporal boundary)
         b, f, hh, ww, c = x.shape
-        xf = x.reshape(b, f, hh * ww, c)
-        h = GroupNorm(name='norm1')(xf)
+        h = GroupNorm(name='norm1')(x)
         h = jax.nn.silu(h.astype(jnp.float32)).astype(self.dtype)
         h = TemporalConv3(self.out_channels, dtype=self.dtype,
                           name='conv1')(h)
@@ -83,9 +86,11 @@ class TemporalResnetBlock(nn.Module):
         h = TemporalConv3(self.out_channels, dtype=self.dtype,
                           name='conv2')(h)
         if c != self.out_channels:
-            xf = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
-                         name='conv_shortcut')(xf)
-        return (xf + h).reshape(b, f, hh, ww, self.out_channels)
+            x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
+                        name='conv_shortcut')(
+                            x.reshape(b * f, hh, ww, c)).reshape(
+                                b, f, hh, ww, self.out_channels)
+        return x + h
 
 
 class SpatioTemporalResBlock(nn.Module):
