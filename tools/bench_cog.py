@@ -28,6 +28,9 @@ def main():
     ap.add_argument('--scan', type=int, default=3)
     ap.add_argument('--iters', type=int, default=3)
     ap.add_argument('--frames', type=int, default=7, help='latent frames')
+    ap.add_argument('--profile', default=None,
+                    help='trace dir: print a per-op device-time breakdown '
+                         'instead of the latency line')
     args = ap.parse_args()
 
     import jax
@@ -65,6 +68,19 @@ def main():
     for _ in range(2):
         out = fwd(params, x)
         _ = jax.device_get(out[0, 0, 0, 0, 0])
+    if args.profile:
+        from profile_bench import parse_xplane
+        from star_tpu.utils.profiling import sync, trace
+        print('[t] trace', flush=True)
+        with trace(args.profile):
+            sync(fwd(params, x))
+        totals, by_op = parse_xplane(args.profile)
+        n = args.scan
+        print({k: round(v / 1e3 / n, 1) for k, v in totals.most_common()},
+              flush=True)
+        for name, us in by_op.most_common(20):
+            print(f'{us / 1e3 / n:8.2f}  {name[:180]}', flush=True)
+        return
     print('[t] measure', flush=True)
     times = []
     for _ in range(args.iters):
