@@ -197,9 +197,13 @@ def main():
                 batch['gt_pixels'] = jax.device_put(gt, batch_sh)
             state, metrics = step_fn(state, batch, k_step)
             if args.sample_every and (step + 1) % args.sample_every == 0 \
+                    and args.freq_loss:
+                # split on ALL processes so `key` stays host-identical
+                # (splitting only on rank 0 would desync the SPMD step keys)
+                k_prev, key = jax.random.split(key)
+            if args.sample_every and (step + 1) % args.sample_every == 0 \
                     and args.freq_loss and jax.process_index() == 0:
                 from ..data.io import save_video
-                k_prev, key = jax.random.split(key)
                 pix = preview_fn(state.params, batch, k_prev)
                 frames = np.asarray(jax.device_get(
                     jnp.clip(pix[0].astype(jnp.float32) * 0.5 + 0.5, 0, 1)

@@ -26,15 +26,27 @@ class PairedCaptionVideoDataset:
     """
 
     def __init__(self, root: str, num_frames: int = 32,
-                 null_text_ratio: float = 0.5, seed: int = 0):
+                 null_text_ratio: float = 0.5, seed: int = 0,
+                 clean_captions: bool = False):
         self.root = root
         self.num_frames = num_frames
         self.null_text_ratio = null_text_ratio
+        self.clean_captions = clean_captions
         self.rng = random.Random(seed)
         lq_dir = os.path.join(root, 'lq')
         self.names = sorted(
             os.path.splitext(f)[0] for f in os.listdir(lq_dir)
             if f.endswith('.mp4'))
+
+    def _caption(self, name: str) -> str:
+        if self.rng.random() < self.null_text_ratio:
+            return ''
+        with open(os.path.join(self.root, 'text', name + '.txt')) as f:
+            text = f.read().strip()
+        if self.clean_captions:
+            from .captions import text_preprocessing
+            text = text_preprocessing(text)
+        return text
 
     def __len__(self):
         return len(self.names)
@@ -45,11 +57,7 @@ class PairedCaptionVideoDataset:
         lq, _ = load_video(os.path.join(self.root, 'lq', name + '.mp4'))
         gt = gt[:self.num_frames]
         lq = lq[:self.num_frames]
-        if self.rng.random() < self.null_text_ratio:
-            text = ''
-        else:
-            with open(os.path.join(self.root, 'text', name + '.txt')) as f:
-                text = f.read().strip()
+        text = self._caption(name)
         to11 = lambda x: (x.astype(np.float32) / 255.0 - 0.5) / 0.5
         return {'gt': to11(gt), 'lq': to11(lq), 'text': text}
 
@@ -66,8 +74,10 @@ class CogPairedCaptionDataset(PairedCaptionVideoDataset):
     bicubic-upsampled x4; frames truncated to num_frames (4k+1)."""
 
     def __init__(self, root: str, num_frames: int = 25,
-                 null_text_ratio: float = 0.5, seed: int = 0):
-        super().__init__(root, num_frames, null_text_ratio, seed)
+                 null_text_ratio: float = 0.5, seed: int = 0,
+                 clean_captions: bool = False):
+        super().__init__(root, num_frames, null_text_ratio, seed,
+                         clean_captions)
 
     @staticmethod
     def _fit(frames: np.ndarray, is_lq: bool) -> np.ndarray:
@@ -93,11 +103,7 @@ class CogPairedCaptionDataset(PairedCaptionVideoDataset):
         lq, _ = load_video(os.path.join(self.root, 'lq', name + '.mp4'))
         gt = self._fit(gt, False)[:self.num_frames]
         lq = self._fit(lq, True)[:self.num_frames]
-        if self.rng.random() < self.null_text_ratio:
-            text = ''
-        else:
-            with open(os.path.join(self.root, 'text', name + '.txt')) as f:
-                text = f.read().strip()
+        text = self._caption(name)
         to11 = lambda x: (x.astype(np.float32) / 255.0) * 2.0 - 1.0
         return {'gt': to11(gt), 'lq': to11(lq), 'text': text, 'fps': fps}
 

@@ -27,6 +27,7 @@ class PrefetchIterator:
     def __init__(self, src: Iterable, depth: int = 2):
         self._q: queue.Queue = queue.Queue(maxsize=max(1, depth))
         self._err: Optional[BaseException] = None
+        self._done = False
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._run, args=(iter(src),),
                                         daemon=True)
@@ -57,8 +58,13 @@ class PrefetchIterator:
         return self
 
     def __next__(self):
+        if self._done:
+            # the single sentinel was already consumed; keep honoring the
+            # iterator protocol instead of blocking on the empty queue
+            raise StopIteration
         item = self._q.get()
         if item is _SENTINEL:
+            self._done = True
             if self._err is not None:
                 err, self._err = self._err, None
                 raise err

@@ -77,8 +77,13 @@ class TarVideoDataset:
       * shuffle_buffer: webdataset-style streaming shuffle — fill a buffer of
         N samples, emit a random one, refill
       * state_dict()/load_state_dict(): resume mid-epoch at (epoch,
-        shard index, sample index); the buffered shuffle replays with the
-        same seed so a resumed stream is deterministic
+        shard index, sample index). With shuffle_buffer <= 1 a resumed
+        stream is exactly deterministic. With a shuffle buffer, resume is
+        APPROXIMATE: state records the raw-stream position, which runs up
+        to `shuffle_buffer` samples ahead of what the consumer has seen, so
+        buffered-but-unemitted samples are skipped and the shuffle RNG
+        restarts — acceptable for training-loader semantics (the reference's
+        webdataset resume has the same property).
     """
 
     def __init__(self, shards: Sequence[str], process_index: int = 0,

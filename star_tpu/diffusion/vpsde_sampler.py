@@ -47,10 +47,10 @@ def vpsde_dpmpp_2m_ladder(disc: ZeroSNRDDPMDiscretization, num_steps: int):
     return ladder, t_for_step.astype(np.int64)
 
 
-def sample_vpsde_dpmpp_2m(denoise_fn: DenoiseFn, x_init: jax.Array,
-                          disc: ZeroSNRDDPMDiscretization, num_steps: int,
-                          key: jax.Array, guider_scale: float = 6.0,
-                          guider_exp: float = 5.0) -> jax.Array:
+def _sample_vp_dpmpp_2m(denoise_fn: DenoiseFn, x_init: jax.Array,
+                        disc: ZeroSNRDDPMDiscretization, num_steps: int,
+                        key: jax.Array, guider_scale: float,
+                        guider_exp: float, sde: bool) -> jax.Array:
     ladder, t_for_step = vpsde_dpmpp_2m_ladder(disc, num_steps)
     n = num_steps
     # host-precomputed per-step constants (float64 python math == reference)
@@ -66,10 +66,16 @@ def sample_vpsde_dpmpp_2m(denoise_fn: DenoiseFn, x_init: jax.Array,
             a, a_next = np.float64(ladder[i]), np.float64(ladder[i + 1])
             lam, lam_next = _lamb(a), _lamb(a_next)
             h = lam_next - lam
-            mult1 = float(np.sqrt((1 - a_next**2) / (1 - a**2)) * np.exp(-h))
-            mult2 = float(np.expm1(-2.0 * h) * a_next)
-            mult_noise = float(np.sqrt(1 - a_next**2)
-                               * np.sqrt(1 - np.exp(-2 * h)))
+            if sde:    # sampling.py:600-610
+                mult1 = float(np.sqrt((1 - a_next**2) / (1 - a**2))
+                              * np.exp(-h))
+                mult2 = float(np.expm1(-2.0 * h) * a_next)
+                mult_noise = float(np.sqrt(1 - a_next**2)
+                                   * np.sqrt(1 - np.exp(-2 * h)))
+            else:      # VPODE variant, sampling.py:705-714: deterministic
+                mult1 = float(np.sqrt((1 - a_next**2) / (1 - a**2)))
+                mult2 = float(np.expm1(-h) * a_next)
+                mult_noise = 0.0
             if i == 0:
                 return mult1, mult2, mult_noise, 0.0, 0.0
             a_prev = np.float64(ladder[i - 1])
@@ -115,3 +121,27 @@ def sample_vpsde_dpmpp_2m(denoise_fn: DenoiseFn, x_init: jax.Array,
                    jnp.float32(ladder[n - 1]),
                    jnp.float32(cfg_scales[n - 1])).astype(jnp.float32)
     return x
+
+
+def sample_vpsde_dpmpp_2m(denoise_fn: DenoiseFn, x_init: jax.Array,
+                          disc: ZeroSNRDDPMDiscretization, num_steps: int,
+                          key: jax.Array, guider_scale: float = 6.0,
+                          guider_exp: float = 5.0) -> jax.Array:
+    """Stochastic variant (sampling.py:574-685) — STAR's configured sampler."""
+    return _sample_vp_dpmpp_2m(denoise_fn, x_init, disc, num_steps, key,
+                               guider_scale, guider_exp, sde=True)
+
+
+def sample_vpode_dpmpp_2m(denoise_fn: DenoiseFn, x_init: jax.Array,
+                          disc: ZeroSNRDDPMDiscretization, num_steps: int,
+                          key: jax.Array | None = None,
+                          guider_scale: float = 6.0,
+                          guider_exp: float = 5.0) -> jax.Array:
+    """Deterministic VPODE-DPM++(2M) (sampling.py:688-773): same ladder /
+    timestep indexing / DynamicCFG, but ODE mults (no exp(-h) damping in
+    mult1, expm1(-h) in mult2) and zero injected noise. Config-reachable in
+    the reference engine; ported for capability parity."""
+    if key is None:
+        key = jax.random.PRNGKey(0)   # unused: mult_noise is 0 on every step
+    return _sample_vp_dpmpp_2m(denoise_fn, x_init, disc, num_steps, key,
+                               guider_scale, guider_exp, sde=False)

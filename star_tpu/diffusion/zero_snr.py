@@ -61,6 +61,61 @@ class ZeroSNRDDPMDiscretization:
         return (s, timesteps) if return_idx else s
 
 
+class EDMDiscretization:
+    """Karras rho-schedule sigma ladder (discretizer.py:32-43): sigmas
+    interpolate sigma_max -> sigma_min in sigma^(1/rho) space. Config-
+    reachable in the reference engine (never selected by STAR's configs,
+    ported for capability parity)."""
+
+    def __init__(self, sigma_min: float = 0.002, sigma_max: float = 80.0,
+                 rho: float = 7.0):
+        self.sigma_min, self.sigma_max, self.rho = sigma_min, sigma_max, rho
+
+    def get_sigmas(self, n: int) -> np.ndarray:
+        ramp = np.linspace(0.0, 1.0, n, dtype=np.float64)
+        min_inv = self.sigma_min ** (1.0 / self.rho)
+        max_inv = self.sigma_max ** (1.0 / self.rho)
+        return (max_inv + ramp * (min_inv - max_inv)) ** self.rho
+
+    def __call__(self, n: int, do_append_zero: bool = True,
+                 flip: bool = False) -> np.ndarray:
+        s = self.get_sigmas(n)
+        if do_append_zero:
+            s = np.concatenate([s, [0.0]])
+        return s[::-1].copy() if flip else s
+
+
+class LegacyDDPMDiscretization:
+    """Pre-ZeroSNR DDPM sigma ladder (discretizer.py:46-72):
+    sigma_t = sqrt((1-abar)/abar) over the linear-beta schedule, descending
+    (14.4 -> 0.029 at n=1000 per the reference comment)."""
+
+    def __init__(self, linear_start: float = 0.00085,
+                 linear_end: float = 0.0120, num_timesteps: int = 1000):
+        betas = make_beta_schedule_linear(num_timesteps, linear_start,
+                                          linear_end)
+        self.alphas_cumprod = np.cumprod(1.0 - betas)
+        self.num_timesteps = num_timesteps
+
+    def get_sigmas(self, n: int) -> np.ndarray:
+        if n < self.num_timesteps:
+            timesteps = np.linspace(self.num_timesteps - 1, 0, n,
+                                    endpoint=False).astype(int)[::-1]
+            ac = self.alphas_cumprod[timesteps]
+        elif n == self.num_timesteps:
+            ac = self.alphas_cumprod
+        else:
+            raise ValueError(n)
+        return np.sqrt((1.0 - ac) / ac)[::-1].copy()   # descending
+
+    def __call__(self, n: int, do_append_zero: bool = True,
+                 flip: bool = False) -> np.ndarray:
+        s = self.get_sigmas(n)
+        if do_append_zero:
+            s = np.concatenate([s, [0.0]])
+        return s[::-1].copy() if flip else s
+
+
 def video_scaling(sqrt_alpha: np.ndarray | float
                   ) -> Tuple[np.ndarray, np.ndarray, float]:
     """(c_skip, c_out, c_in) for the VideoScaling v-pred convention:

@@ -242,6 +242,178 @@ def _flash_fwd(q3: jax.Array, k3: jax.Array, v3: jax.Array, scale: float,
     return out[:, :sq]
 
 
+def _flash_packed_kernel(*refs, d: int, masked: bool, exp_bf16: bool):
+    """Head-packed natural-layout flash forward.
+
+    Blocks carry L = hpb*d lanes (hpb heads side by side, exactly as they
+    sit in the [B, S, H*D] projection output); heads are processed
+    sequentially in-kernel from static 64-lane slices, so the [B,S,H,D] ->
+    [B,H,S,D] HBM relayout + pad that fed the unpacked kernel (23+30 ms per
+    tensor per step on the CogVideoX trace) never exists.
+    """
+    if masked:
+        mask_ref, q_ref, k_ref, v_ref, o_ref, acc_scr = refs
+    else:
+        q_ref, k_ref, v_ref, o_ref, acc_scr = refs
+    j = pl.program_id(2)
+    n_k = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q2 = q_ref[0]                                  # [bq, L]
+    k2 = k_ref[0]
+    v2 = v_ref[0]
+    hpb = q2.shape[-1] // d
+    ones_col = jnp.ones((v2.shape[0], 1), v2.dtype)
+    for hi in range(hpb):
+        sl = slice(hi * d, (hi + 1) * d)
+        s_t = jax.lax.dot_general(k2[:, sl], q2[:, sl],
+                                  (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        if masked:
+            s_t = s_t + mask_ref[:, :1]
+        if exp_bf16:
+            # clamp+convert fold into the matmul epilogue; exp2 runs on
+            # packed bf16 vregs (2x VPU rate). The pv matmul consumed bf16
+            # probs either way — this only moves the rounding before the
+            # exp instead of after (comparable error, see test tolerance).
+            p_t = jnp.exp2(jnp.minimum(s_t, 120.0).astype(jnp.bfloat16))
+        else:
+            p_t = jnp.exp2(jnp.minimum(s_t, 120.0)).astype(v2.dtype)
+        v_ext = jnp.concatenate([v2[:, sl], ones_col], axis=1)
+        acc_scr[hi] += jax.lax.dot_general(v_ext, p_t,
+                                           (((0,), (0,)), ((), ())),
+                                           preferred_element_type=jnp.float32)
+
+    @pl.when(j == n_k - 1)
+    def _finalize():
+        outs = []
+        for hi in range(hpb):
+            denom_t = jnp.maximum(acc_scr[hi, d:d + 1, :], 1e-30)
+            outs.append((acc_scr[hi, :d, :] / denom_t).T)
+        o_ref[0] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
+
+
+def _packed_fwd_impl(qn, kn, vn, num_heads: int, scale: float, bq: int,
+                     bk: int, interpret: bool, exp_bf16: bool,
+                     kv_valid: int | None = None):
+    """qn/kn/vn: [B, S, H*D] natural layout -> out [B, S, H*D].
+
+    kv_valid: number of real key rows (< S when the caller carried dead
+    pad rows through the projection, e.g. CogVideoX's 9676 -> 9680); the
+    tail gets a -inf additive bias so it never receives weight.
+    """
+    b, sq, hd_total = qn.shape
+    skv = kn.shape[1]
+    d = hd_total // num_heads
+    lane = 128
+    assert hd_total % lane == 0 and lane % d == 0, (hd_total, d)
+    hp = hd_total // lane
+    qn = (qn.astype(jnp.float32) * (scale * LOG2E)).astype(qn.dtype)
+
+    bq_eff = _pick_block(sq, min(bq, -(-sq // 16) * 16))
+    bk_eff = _pick_block(skv, min(bk, -(-skv // 128) * 128))
+    sq_pad = -(-sq // bq_eff) * bq_eff
+    skv_pad = -(-skv // bk_eff) * bk_eff
+    if sq_pad != sq:
+        qn = jnp.pad(qn, ((0, 0), (0, sq_pad - sq), (0, 0)))
+    if skv_pad != skv:
+        kn = jnp.pad(kn, ((0, 0), (0, skv_pad - skv), (0, 0)))
+        vn = jnp.pad(vn, ((0, 0), (0, skv_pad - skv), (0, 0)))
+    valid = min(kv_valid, skv) if kv_valid is not None else skv
+    masked = valid != skv_pad
+    n_k = skv_pad // bk_eff
+
+    grid = (b * hp, sq_pad // bq_eff, n_k)
+    kernel = functools.partial(_flash_packed_kernel, d=d, masked=masked,
+                               exp_bf16=exp_bf16)
+    in_specs = [
+        pl.BlockSpec((1, bq_eff, lane), lambda g, i, j: (g // hp, i, g % hp)),
+        pl.BlockSpec((1, bk_eff, lane), lambda g, i, j: (g // hp, j, g % hp)),
+        pl.BlockSpec((1, bk_eff, lane), lambda g, i, j: (g // hp, j, g % hp)),
+    ]
+    inputs = [qn, kn, vn]
+    if masked:
+        rows = np.arange(skv_pad)[:, None]
+        mask_tab = jnp.asarray(
+            np.broadcast_to(np.where(rows < valid, 0.0, -np.inf),
+                            (skv_pad, 8)), jnp.float32)
+        in_specs.insert(0, pl.BlockSpec((bk_eff, 8), lambda g, i, j: (j, 0)))
+        inputs.insert(0, mask_tab)
+    hpb = lane // d
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, bq_eff, lane),
+                               lambda g, i, j: (g // hp, i, g % hp)),
+        out_shape=jax.ShapeDtypeStruct((b, sq_pad, hd_total), qn.dtype),
+        scratch_shapes=[pltpu.VMEM((hpb, d + 1, bq_eff), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=('parallel', 'parallel', 'arbitrary')),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * hp * hpb * sq_pad * skv_pad * d,
+            bytes_accessed=(qn.size + kn.size + vn.size) * 2 + qn.size * 2,
+            transcendentals=b * hp * hpb * sq_pad * skv_pad),
+        interpret=interpret,
+    )(*inputs)
+    return out[:, :sq]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
+def flash_attention_packed(q: jax.Array, k: jax.Array, v: jax.Array,
+                           num_heads: int, scale: float | None = None,
+                           bq: int = DEFAULT_BQ, bk: int = DEFAULT_BK,
+                           interpret: bool = False, exp_bf16: bool = False,
+                           kv_valid: int | None = None) -> jax.Array:
+    """Natural-layout flash attention: q/k/v [B, S, H*D] -> [B, S, H*D].
+
+    No head transpose on either side — the projection output feeds the
+    kernel directly and the kernel emits the layout the out-projection
+    wants. Requires (H*D) % 128 == 0 and D | 128 (CogVideoX: 48x64;
+    UNet 640/1280ch scales: 10/20x64). Training gradients take the
+    unpacked recompute backward (correctness path; inference never
+    differentiates)."""
+    d = q.shape[-1] // num_heads
+    s = (1.0 / math.sqrt(d)) if scale is None else scale
+    return _packed_fwd_impl(q, k, v, num_heads, s, bq, bk, interpret,
+                            exp_bf16, kv_valid)
+
+
+def _packed_fwd(q, k, v, num_heads, scale, bq, bk, interpret, exp_bf16,
+                kv_valid):
+    b, sq, hd_total = q.shape
+    skv = k.shape[1]
+    d = hd_total // num_heads
+    to4 = lambda t: t.reshape(t.shape[0], t.shape[1], num_heads, d)
+    if kv_valid is not None and kv_valid < skv:
+        k4, v4 = to4(k[:, :kv_valid]), to4(v[:, :kv_valid])
+    else:
+        k4, v4 = to4(k), to4(v)
+    out4, res = _fwd(to4(q), k4, v4, scale, bq, bk, interpret, True)
+    return out4.reshape(b, sq, hd_total), (res, skv)
+
+
+def _packed_bwd(num_heads, scale, bq, bk, interpret, exp_bf16, kv_valid,
+                residuals, g):
+    res, skv = residuals
+    b, sq, hd_total = g.shape
+    d = hd_total // num_heads
+    g4 = g.reshape(b, sq, num_heads, d)
+    dq4, dk4, dv4 = _bwd(scale, bq, bk, interpret, True, res, g4)
+    flat = lambda t: t.reshape(t.shape[0], t.shape[1], hd_total)
+    dq, dk, dv = flat(dq4), flat(dk4), flat(dv4)
+    if dk.shape[1] != skv:   # dead pad rows carried no gradient
+        pad = ((0, 0), (0, skv - dk.shape[1]), (0, 0))
+        dk, dv = jnp.pad(dk, pad), jnp.pad(dv, pad)
+    return dq, dk, dv
+
+
+flash_attention_packed.defvjp(_packed_fwd, _packed_bwd)
+
+
 LOG2E = 1.4426950408889634
 LN2 = 0.6931471805599453
 DEFAULT_BWD_BQ = 384    # backward holds a full [Sq, D] fp32 dq block plus

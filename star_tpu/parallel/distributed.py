@@ -30,8 +30,10 @@ def init_distributed(coordinator: Optional[str] = None,
     (no coordinator anywhere) are a no-op. Returns (process_index,
     process_count)."""
     coordinator = coordinator or os.environ.get('JAX_COORDINATOR_ADDRESS')
-    if coordinator and jax.process_count() == 1 \
-            and not getattr(init_distributed, '_done', False):
+    # Decide from env/args ALONE: jax.process_count() would initialize the
+    # local backend, and jax.distributed.initialize must run before any
+    # backend init — querying first would break the multi-host path.
+    if coordinator and not getattr(init_distributed, '_done', False):
         kw = {}
         if num_processes is not None:
             kw['num_processes'] = num_processes

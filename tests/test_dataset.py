@@ -66,6 +66,17 @@ def test_prefetch_iterator_yields_all_and_propagates_errors():
     out = list(PrefetchIterator(range(10), depth=3))
     assert out == list(range(10))
 
+    # exhausted iterator keeps raising StopIteration (doesn't hang on the
+    # consumed sentinel)
+    ex = PrefetchIterator(range(2), depth=2)
+    assert list(ex) == [0, 1]
+    for _ in range(3):
+        try:
+            next(ex)
+            raise AssertionError('expected StopIteration')
+        except StopIteration:
+            pass
+
     # error in the producer surfaces at the consumer
     def bad():
         yield 1

@@ -98,3 +98,76 @@ def test_flash_backward_ragged_seq():
     for got, want, name in zip(g_flash, g_ref, 'qkv'):
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=2e-4, rtol=1e-3, err_msg=name)
+
+
+@pytest.mark.parametrize('shape,kv_valid', [
+    ((1, 256, 256, 4, 64), None),      # 2 head-pairs, divisible
+    ((2, 200, 200, 2, 64), None),      # ragged seq -> padded blocks
+    ((1, 256, 256, 2, 128), None),     # d=128: one head per lane block
+    ((1, 260, 260, 4, 64), 252),       # dead kv tail (CogVideoX 9676->9680)
+])
+def test_packed_matches_xla_reference(shape, kv_valid):
+    """Natural-layout [B,S,H*D] packed kernel == reference attention over
+    the valid rows."""
+    from star_tpu.ops.flash_attention import flash_attention_packed
+
+    b, sq, skv, h, d = shape
+    ks = jax.random.split(jax.random.PRNGKey(3), 3)
+    q4 = jax.random.normal(ks[0], (b, sq, h, d), jnp.float32)
+    k4 = jax.random.normal(ks[1], (b, skv, h, d), jnp.float32)
+    v4 = jax.random.normal(ks[2], (b, skv, h, d), jnp.float32)
+    valid = kv_valid if kv_valid is not None else skv
+    ref = _xla_reference(q4, k4[:, :valid], v4[:, :valid], 1.0 / np.sqrt(d))
+
+    flat = lambda t: t.reshape(t.shape[0], t.shape[1], h * d)
+    out = flash_attention_packed(flat(q4), flat(k4), flat(v4), h, None,
+                                 128, 128, True, False, kv_valid)
+    np.testing.assert_allclose(
+        np.asarray(out).reshape(b, sq, h, d), np.asarray(ref), atol=2e-5)
+
+
+def test_packed_exp_bf16_close():
+    """bf16-exp2 variant stays within bf16-rounding distance of reference."""
+    from star_tpu.ops.flash_attention import flash_attention_packed
+
+    b, s, h, d = 1, 256, 2, 64
+    ks = jax.random.split(jax.random.PRNGKey(4), 3)
+    mk = lambda k: jax.random.normal(k, (b, s, h * d), jnp.bfloat16)
+    q, k, v = mk(ks[0]), mk(ks[1]), mk(ks[2])
+    base = flash_attention_packed(q, k, v, h, None, 128, 128, True, False)
+    fast = flash_attention_packed(q, k, v, h, None, 128, 128, True, True)
+    np.testing.assert_allclose(np.asarray(base, np.float32),
+                               np.asarray(fast, np.float32), atol=3e-2)
+
+
+def test_packed_gradients():
+    """Packed custom_vjp (unpacked recompute backward) == XLA grads,
+    including a dead-kv-tail case where tail grads must be zero."""
+    from star_tpu.ops.flash_attention import flash_attention_packed
+
+    b, s, h, d = 1, 96, 2, 64
+    ks = jax.random.split(jax.random.PRNGKey(5), 3)
+    q4 = jax.random.normal(ks[0], (b, s, h, d), jnp.float32) * 0.5
+    k4 = jax.random.normal(ks[1], (b, s, h, d), jnp.float32) * 0.5
+    v4 = jax.random.normal(ks[2], (b, s, h, d), jnp.float32)
+    flat = lambda t: t.reshape(b, s, h * d)
+    valid = 90
+
+    def loss_packed(q, k, v):
+        return jnp.sum(flash_attention_packed(
+            flat(q), flat(k), flat(v), h, None, 64, 64, True, False,
+            valid) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_xla_reference(q, k[:, :valid], v[:, :valid],
+                                      1 / np.sqrt(d)) ** 2)
+
+    g_p = jax.grad(loss_packed, argnums=(0, 1, 2))(q4, k4, v4)
+    g_r = jax.grad(loss_ref, argnums=(0, 1, 2))(q4, k4, v4)
+    np.testing.assert_allclose(np.asarray(g_p[0]), np.asarray(g_r[0]),
+                               atol=2e-4, rtol=1e-3)
+    for got, want in zip(g_p[1:], g_r[1:]):
+        got = np.asarray(got)
+        np.testing.assert_allclose(got, np.asarray(want),
+                                   atol=2e-4, rtol=1e-3)
+        assert np.all(got[:, valid:] == 0)

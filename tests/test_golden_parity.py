@@ -135,6 +135,36 @@ def test_vpsde_sampler_golden_trajectory(monkeypatch):
     np.testing.assert_allclose(np.asarray(out), data['out'], atol=1e-4)
 
 
+def test_vpode_sampler_and_alt_discretizers_golden():
+    """Reference VPODEDPMPP2MSampler 12-step deterministic trajectory
+    (sampling.py:688-773) vs sample_vpode_dpmpp_2m, plus EDM/Legacy
+    discretizer ladders (discretizer.py:32-72) vs our numpy ports."""
+    data = _golden('vpode_sampler.npz')
+    import jax
+    import jax.numpy as jnp
+    from star_tpu.diffusion.vpsde_sampler import sample_vpode_dpmpp_2m
+    from star_tpu.diffusion.zero_snr import (EDMDiscretization,
+                                             LegacyDDPMDiscretization,
+                                             ZeroSNRDDPMDiscretization)
+
+    n = int(data['num_steps'])
+
+    def denoise_fn(x, t, a, scale):
+        u = jnp.tanh(x) * a - 0.2
+        c = jnp.tanh(x) * a + 0.3
+        return u + scale * (c - u)
+
+    out = sample_vpode_dpmpp_2m(denoise_fn, jnp.asarray(data['x0']),
+                                ZeroSNRDDPMDiscretization(), n,
+                                jax.random.PRNGKey(0))
+    np.testing.assert_allclose(np.asarray(out), data['out'], atol=1e-4)
+
+    np.testing.assert_allclose(EDMDiscretization()(10), data['edm_sigmas'],
+                               atol=1e-5)
+    np.testing.assert_allclose(LegacyDDPMDiscretization()(25),
+                               data['legacy_sigmas'], atol=1e-4)
+
+
 def test_t5_golden_forward():
     """Tiny HF T5EncoderModel golden (the class both reference text paths
     wrap) vs our T5Encoder through t5_encoder_name_map."""

@@ -287,6 +287,58 @@ def dump_vpsde(ref_root: str, out_dir: str):
                num_steps=__import__('numpy').asarray(n)))
 
 
+def dump_vpode(ref_root: str, out_dir: str):
+    """Reference VPODEDPMPP2MSampler (sampling.py:688-773) deterministic
+    12-step trajectory with the same mock denoiser as dump_vpsde, plus the
+    EDM and Legacy discretizer ladders (discretizer.py:32-72) — goldens for
+    the config-reachable-but-unselected sampler/discretizer variants."""
+    import numpy as np
+    import torch
+    _setup_paths(ref_root)
+    sat_root = os.path.join(ref_root, 'cogvideox-based', 'sat')
+    if sat_root not in sys.path:
+        sys.path.insert(0, sat_root)
+    from sgm.modules.diffusionmodules.sampling import VPODEDPMPP2MSampler
+    from sgm.modules.diffusionmodules.discretizer import (
+        EDMDiscretization, LegacyDDPMDiscretization)
+
+    n = 12
+    sampler = VPODEDPMPP2MSampler(
+        discretization_config={
+            'target':
+                'sgm.modules.diffusionmodules.discretizer.'
+                'ZeroSNRDDPMDiscretization',
+            'params': {}},
+        guider_config={
+            'target': 'sgm.modules.diffusionmodules.guiders.DynamicCFG',
+            'params': {'scale': 6.0, 'exp': 5.0, 'num_steps': n}},
+        num_steps=n, device='cpu', verbose=False)
+
+    def denoiser(x, sigma, cond, **kw):
+        s = sigma.reshape(-1, 1, 1, 1, 1).float()
+        return torch.tanh(x) * s + cond['crossattn'].reshape(-1, 1, 1, 1, 1)
+
+    g = torch.Generator().manual_seed(9)
+    x0 = torch.randn(1, 2, 4, 8, 8, generator=g)
+    cond = {'crossattn': torch.tensor([0.3])}
+    uc = {'crossattn': torch.tensor([-0.2])}
+    with torch.no_grad():
+        out = sampler(denoiser, x0.clone(), cond, uc=uc, scale=None)
+
+    # NB: the reference's Discretization.__call__ passes return_idx= into
+    # get_sigmas, which EDM/Legacy don't accept (a latent reference bug) —
+    # go through get_sigmas directly and append the terminal zero by hand
+    edm = torch.cat([EDMDiscretization().get_sigmas(10, device='cpu'),
+                     torch.zeros(1)])
+    legacy = torch.cat([
+        LegacyDDPMDiscretization().get_sigmas(25, device='cpu'),
+        torch.zeros(1)])
+    _save(out_dir, 'vpode_sampler',
+          dict(x0=x0.numpy(), out=out.numpy(),
+               edm_sigmas=edm.numpy(), legacy_sigmas=legacy.numpy(),
+               num_steps=np.asarray(n)))
+
+
 TINY_DIT = dict(num_frames=9, time_compressed_rate=4, latent_width=8,
                 latent_height=8, patch_size=2, in_channels=8, out_channels=8,
                 hidden_size=64, num_layers=2, num_attention_heads=4,
@@ -364,6 +416,7 @@ DUMPS = {
     't5_small': dump_t5_small,
     'clip_text': dump_clip_text,
     'vpsde_sampler': dump_vpsde,
+    'vpode_sampler': dump_vpode,
     'dit_small': dump_dit,
 }
 
