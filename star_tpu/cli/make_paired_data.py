@@ -30,6 +30,11 @@ def parse_args():
     p.add_argument('--seed', type=int, default=0)
     p.add_argument('--no_codec', action='store_true',
                    help='skip the H.264/mpeg4 re-encode stage')
+    p.add_argument('--recipe', default='default',
+                   choices=('default', 'mid'),
+                   help="degradation recipe: 'default' = degrade_video.py, "
+                        "'mid' = degrade_video_mid.py (stage-1 resize "
+                        "toward final LR size)")
     # rank striding defaults from the standard launcher env (so one command
     # line works under SLURM/GKE array jobs and jax multi-host alike)
     p.add_argument('--process_index', type=int,
@@ -80,7 +85,8 @@ def main():
         gt01 = frames.astype(np.float32) / 255.0
         lq01, _ = degrade_video(gt01, scale=args.scale,
                                 seed=args.seed + i * 7919,
-                                use_codec=not args.no_codec)
+                                use_codec=not args.no_codec,
+                                recipe=args.recipe)
         # x(scale) bicubic upsample of LQ (make_paired_data.py:86-96)
         lq_up = jax.image.resize(
             jnp.asarray(lq01),

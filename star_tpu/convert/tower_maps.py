@@ -294,8 +294,14 @@ def merge_sat_lora(state_dict: dict, alpha_over_r: float = 1.0) -> dict:
     return sd
 
 
-def convert_dit(state_dict, num_layers: int = 42, dtype=None):
-    """-> nested param tree for CogVideoDiT (scan_layers layout)."""
+def convert_dit(state_dict, num_layers: int = 42, dtype=None,
+                num_heads: int = 48):
+    """-> nested param tree for CogVideoDiT (scan_layers layout).
+
+    Applies the RoPE half-split head-dim permutation (dit.rope_head_perm)
+    to the q/k projection outputs and qk-LN params: our DiT rotates halves
+    (one lane shift on TPU) instead of interleaved pairs; logits are
+    invariant because q and k share the permutation."""
     from .convert import _to_numpy, nest
     dmap = dit_name_map(num_layers)
     flat = {}
@@ -308,6 +314,29 @@ def convert_dit(state_dict, num_layers: int = 42, dtype=None):
             arr = _to_numpy(state_dict[src_t.format(i=i)])
             stack.append(fn(arr) if fn else arr)
         flat[f'layers/layer/{dst}'] = np.stack(stack)
+
+    from ..models.dit.dit import rope_head_perm
+    qkv_kernel = flat['layers/layer/qkv/base/kernel']   # [L, in, 3C]
+    c = qkv_kernel.shape[-1] // 3
+    hd = c // num_heads
+    perm = rope_head_perm(hd)
+
+    def perm_qk(a, feat_axis):
+        shape = a.shape
+        a = np.moveaxis(a, feat_axis, -1)
+        lead = a.shape[:-1]
+        a = a.reshape(lead + (3, num_heads, hd))
+        a[..., 0, :, :] = a[..., 0, :, :][..., perm]
+        a[..., 1, :, :] = a[..., 1, :, :][..., perm]
+        a = a.reshape(lead + (3 * c,))
+        return np.moveaxis(a, -1, feat_axis).reshape(shape)
+
+    flat['layers/layer/qkv/base/kernel'] = perm_qk(qkv_kernel.copy(), -1)
+    flat['layers/layer/qkv/base/bias'] = perm_qk(
+        flat['layers/layer/qkv/base/bias'].copy(), -1)
+    for name in ('q_ln_scale', 'q_ln_bias', 'k_ln_scale', 'k_ln_bias'):
+        flat[f'layers/layer/{name}'] = \
+            flat[f'layers/layer/{name}'][..., perm]
     tree = nest(flat)
     if dtype is not None:
         import jax

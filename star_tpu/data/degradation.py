@@ -208,13 +208,20 @@ def _sample_stage(rng, *, sigma_range, sinc_prob, resize_prob, resize_range,
     )
 
 
-def sample_degradation_params(seed: int) -> DegradationParams:
+def sample_degradation_params(seed: int,
+                              recipe: str = 'default') -> DegradationParams:
+    """recipe 'default' = degrade_video.py; 'mid' = degrade_video_mid.py
+    (identical ranges, but stage 1 resizes toward the FINAL LR size with the
+    stage-2 resize distribution instead of a free scale of the original —
+    the only substantive diff between the two reference files)."""
     rng = np.random.RandomState(seed)
+    s1_resize = (dict(resize_prob=[0.2, 0.7, 0.1], resize_range=(0.15, 1.5))
+                 if recipe == 'default' else
+                 dict(resize_prob=[0.3, 0.4, 0.3], resize_range=(0.3, 1.2)))
     s1 = _sample_stage(rng, sigma_range=(0.2, 3), sinc_prob=0.1,
-                       resize_prob=[0.2, 0.7, 0.1], resize_range=(0.15, 1.5),
                        gauss_prob=0.5, noise_range=(1, 30),
                        poisson_range=(0.05, 3), gray_prob=0.4,
-                       jpeg_range=(30, 95))
+                       jpeg_range=(30, 95), **s1_resize)
     s2 = _sample_stage(rng, sigma_range=(0.2, 1.5), sinc_prob=0.1,
                        resize_prob=[0.3, 0.4, 0.3], resize_range=(0.3, 1.2),
                        gauss_prob=0.5, noise_range=(1, 25),
@@ -475,11 +482,13 @@ def codec_roundtrip(frames01: np.ndarray, seed: int) -> np.ndarray:
 # --------------------------------------------------------------------------
 
 def degrade_video(gt01: np.ndarray, scale: int = 4, seed: int = 0,
-                  use_codec: bool = True) -> Tuple[np.ndarray, np.ndarray]:
+                  use_codec: bool = True,
+                  recipe: str = 'default') -> Tuple[np.ndarray, np.ndarray]:
     """gt01: [F, H, W, 3] float in [0,1] -> (lq [F, H/scale, W/scale, 3],
-    gt_usm). Mirrors Degradation.forward_deg (degrade_video.py:149-192) but
-    batched over frames on device."""
-    p = sample_degradation_params(seed)
+    gt_usm). Mirrors Degradation.forward_deg (degrade_video.py:149-192;
+    recipe='mid' follows degrade_video_mid.py's stage-1 resize-to-final)
+    but batched over frames on device."""
+    p = sample_degradation_params(seed, recipe)
     f, ori_h, ori_w, _ = gt01.shape
     key = jax.random.PRNGKey(seed)
     k1, k2, k3, k4 = jax.random.split(key, 4)
@@ -490,7 +499,11 @@ def degrade_video(gt01: np.ndarray, scale: int = 4, seed: int = 0,
     # ---- stage 1
     y = filter2d(gt_usm, jnp.asarray(p.stage1.kernel))
     s = p.stage1.resize_scale
-    y = _resize(y, int(ori_h * s), int(ori_w * s), p.stage1.resize_mode)
+    if recipe == 'mid':
+        y = _resize(y, int(ori_h / scale * s), int(ori_w / scale * s),
+                    p.stage1.resize_mode)
+    else:
+        y = _resize(y, int(ori_h * s), int(ori_w * s), p.stage1.resize_mode)
     if p.stage1.use_gaussian_noise:
         y = add_gaussian_noise(y, k1, p.stage1.noise_sigma, p.stage1.gray_noise)
     else:

@@ -21,6 +21,7 @@ are host-precomputed static constants.
 from __future__ import annotations
 
 import functools
+import math
 from typing import Optional, Tuple
 
 import jax
@@ -34,11 +35,26 @@ from ...ops.norms import layer_norm
 from ..unet.blocks import sinusoidal_embedding
 
 
+def rope_head_perm(head_dim: int) -> np.ndarray:
+    """Head-dim permutation taking the reference's interleaved RoPE pairs
+    (2i, 2i+1) to half-split slots (i, i + hd/2) — NeoX-style rotate_half.
+
+    Attention logits are invariant under any shared q/k head-dim
+    permutation, so this is a pure layout change; on TPU the half-split
+    rotate is ONE 32-lane shift + negate, where the interleaved
+    stack/reshape lowered to ~90 ms of pad/negate fusions per CogVideoX
+    step (r3 trace). Converted checkpoints apply the same permutation to
+    the q/k projection outputs and qk-LN params (convert_dit)."""
+    return np.concatenate([np.arange(0, head_dim, 2),
+                           np.arange(1, head_dim, 2)])
+
+
 def rope_3d_tables(t_size: int, height: int, width: int, head_dim: int,
                    theta: float = 10000.0) -> Tuple[np.ndarray, np.ndarray]:
-    """(cos, sin) tables [T*H*W, head_dim] for the interleaved-pair RoPE
+    """(cos, sin) tables [T*H*W, head_dim] for the 3D RoPE
     (dit_video_concat.py:254-311): dims split t=hd/4, h=w=3*hd/8; each
-    frequency repeated twice (pair-interleaved)."""
+    frequency repeated twice (pair-interleaved in the reference), then
+    permuted to the half-split basis (rope_head_perm)."""
     dim_t = head_dim // 4
     dim_h = head_dim // 8 * 3
     dim_w = head_dim // 8 * 3
@@ -56,22 +72,49 @@ def rope_3d_tables(t_size: int, height: int, width: int, head_dim: int,
         np.broadcast_to(fh[None, :, None, :], (t_size, height, width, dim_h)),
         np.broadcast_to(fw[None, None, :, :], (t_size, height, width, dim_w)),
     ], axis=-1).reshape(t_size * height * width, head_dim)
+    full = full[:, rope_head_perm(head_dim)]
     return np.cos(full), np.sin(full)
 
 
-def rotate_half_interleaved(x: jax.Array) -> jax.Array:
-    """(x0,x1,x2,x3,...) -> (-x1,x0,-x3,x2,...) (dit_video_concat.py:247-251)."""
-    x2 = x.reshape(x.shape[:-1] + (-1, 2))
-    a, b = x2[..., 0], x2[..., 1]
-    return jnp.stack([-b, a], axis=-1).reshape(x.shape)
+def rotate_half_split(x: jax.Array) -> jax.Array:
+    """(x0..x_{d/2-1}, x_{d/2}..x_{d-1}) -> (-x_{d/2}.., x_0..): the
+    half-split rotate matching rope_3d_tables' permuted basis. Reference
+    semantics (interleaved rotate, dit_video_concat.py:247-251) are
+    recovered exactly by the shared q/k permutation — see rope_head_perm."""
+    half = x.shape[-1] // 2
+    return jnp.concatenate([-x[..., half:], x[..., :half]], axis=-1)
 
 
 def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
-    """x: [B, S, H, D]; cos/sin: [S, D]."""
+    """x: [B, S, H, D]; cos/sin: [S, D] (half-split basis)."""
     c = cos[None, :, None, :].astype(jnp.float32)
     s = sin[None, :, None, :].astype(jnp.float32)
     x32 = x.astype(jnp.float32)
-    return (x32 * c + rotate_half_interleaved(x32) * s).astype(x.dtype)
+    return (x32 * c + rotate_half_split(x32) * s).astype(x.dtype)
+
+
+def qk_ln_rope(x: jax.Array, scale: jax.Array, bias: jax.Array,
+               cos_full: jax.Array, sin_full: jax.Array, num_heads: int,
+               eps: float = 1e-6) -> jax.Array:
+    """Fused per-head qk-LayerNorm + RoPE in the natural [B, S, H*D] layout.
+
+    cos/sin_full: [S, H*D] head-tiled tables with identity rows (cos=1,
+    sin=0) where no rotation applies — text tokens and any dead pad tail.
+    One bf16-in/bf16-out elementwise chain with fp32 stats; the r3 trace
+    showed the previous text/img-split 4-D formulation materializing ~400 ms
+    of fp32 relayout/slice/concat passes per CogVideoX step."""
+    b, s, c = x.shape
+    d = c // num_heads
+    x32 = x.astype(jnp.float32).reshape(b, s, num_heads, d)
+    mean = x32.mean(-1, keepdims=True)
+    var = x32.var(-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    half = d // 2
+    rot = jnp.concatenate([-y[..., half:], y[..., :half]], axis=-1)
+    out = (y.reshape(b, s, c) * cos_full[None]
+           + rot.reshape(b, s, c) * sin_full[None])
+    return out.astype(x.dtype)
 
 
 def modulate(x, shift, scale):
@@ -180,6 +223,11 @@ class DiTLayer(nn.Module):
 
         # LIEM on the modulated image stream (dit_video_concat.py:523-533);
         # stock CogVideoX (T2V) has no LIEM
+        # dead pad rows (SP carrying the stream at a padded length) sit at
+        # the sequence tail: real image tokens are the first n_img rows
+        n_img = self.t_size * self.height * self.width
+        img_tail = img_in[:, n_img:]
+        img_in = img_in[:, :n_img]
         if self.liem:
             bt = b * self.t_size
             spa = img_in.reshape(b, self.t_size, self.height, self.width, c)
@@ -201,41 +249,48 @@ class DiTLayer(nn.Module):
                 b * self.height * self.width, self.t_size, c)
             tmp = TemporalLIEMTokens(dtype=self.dtype, name='temp_local')(tmp)
             img_in = tmp.reshape(b, self.height, self.width, self.t_size, c) \
-                .transpose(0, 3, 1, 2, 4).reshape(b, s - tl, c)
+                .transpose(0, 3, 1, 2, 4).reshape(b, n_img, c)
 
-        attn_in = jnp.concatenate([text_in, img_in], axis=1)
+        attn_in = jnp.concatenate([text_in, img_in, img_tail], axis=1)
         qkv = LoraDense(3 * self.hidden_size, self.lora_rank,
                         dtype=self.dtype, name='qkv')(attn_in)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-        q = q.reshape(b, s, self.num_heads, hd)
-        k = k.reshape(b, s, self.num_heads, hd)
-        v = v.reshape(b, s, self.num_heads, hd)
+        q, k, v = jnp.split(qkv, 3, axis=-1)           # natural [B, S, C]
         # qk-LN (per layer, shared across heads; dit_video_concat.py:467-480)
-        q = layer_norm(q, self.param('q_ln_scale', nn.initializers.ones,
+        # fused with the 3D RoPE in natural layout: rope_cos/rope_sin are
+        # full-sequence head-tiled tables whose text/tail rows are identity
+        # rotations (dit_video_concat.py:332-333 rotates image tokens only)
+        q = qk_ln_rope(q, self.param('q_ln_scale', nn.initializers.ones,
                                      (hd,), jnp.float32),
                        self.param('q_ln_bias', nn.initializers.zeros,
-                                  (hd,), jnp.float32), eps=1e-6)
-        k = layer_norm(k, self.param('k_ln_scale', nn.initializers.ones,
+                                  (hd,), jnp.float32),
+                       rope_cos, rope_sin, self.num_heads)
+        k = qk_ln_rope(k, self.param('k_ln_scale', nn.initializers.ones,
                                      (hd,), jnp.float32),
                        self.param('k_ln_bias', nn.initializers.zeros,
-                                  (hd,), jnp.float32), eps=1e-6)
-        # 3D RoPE on image tokens only (dit_video_concat.py:332-333)
-        q = jnp.concatenate([q[:, :tl], apply_rope(q[:, tl:], rope_cos,
-                                                   rope_sin)], axis=1)
-        k = jnp.concatenate([k[:, :tl], apply_rope(k[:, tl:], rope_cos,
-                                                   rope_sin)], axis=1)
+                                  (hd,), jnp.float32),
+                       rope_cos, rope_sin, self.num_heads)
 
+        valid = tl + n_img
         sp_n = (self.sp_mesh.shape[self.sp_axis]
                 if self.sp_mesh is not None else 1)
         if sp_n > 1:
             assert s % sp_n == 0 and self.num_heads % sp_n == 0, (
-                f'Ulysses SP needs seq ({s}) and heads ({self.num_heads}) '
-                f'divisible by the {self.sp_axis!r} axis size {sp_n}')
+                f'Ulysses SP needs heads ({self.num_heads}) and the padded '
+                f'seq ({s}) divisible by the {self.sp_axis!r} size {sp_n}')
             from ...parallel.ulysses import ulysses_attention
-            attn = ulysses_attention(q, k, v, self.sp_mesh, self.sp_axis)
+            to4 = lambda t: t.reshape(b, s, self.num_heads, hd)
+            attn = ulysses_attention(to4(q), to4(k), to4(v), self.sp_mesh,
+                                     self.sp_axis,
+                                     kv_valid=valid if valid < s else None)
+            attn = attn.reshape(b, s, self.hidden_size)
         else:
-            attn = dot_product_attention(q, k, v)
-        attn = attn.reshape(b, s, self.hidden_size)
+            # natural-layout attention: q/k/v never leave [B, S, H*D], the
+            # packed flash kernel needs NO head transpose and the dead tail
+            # (if the stream is carried padded) is masked via kv_valid
+            from ...ops.attention import dot_product_attention_packed
+            attn = dot_product_attention_packed(
+                q, k, v, self.num_heads,
+                kv_valid=valid if valid < s else None)
         attn = LoraDense(self.hidden_size, self.lora_rank, dtype=self.dtype,
                          name='dense')(attn)
 
@@ -332,26 +387,49 @@ class CogVideoDiT(nn.Module):
             context.astype(self.dtype))
         h_states = jnp.concatenate([text_emb, emb], axis=1)
 
-        cos_np, sin_np = rope_3d_tables(t, hp, wp, c // self.num_heads)
-        rope_cos = jnp.asarray(cos_np, jnp.float32)
-        rope_sin = jnp.asarray(sin_np, jnp.float32)
-
         layer_cfg = dict(hidden_size=c, num_heads=self.num_heads,
                          text_length=self.text_length, t_size=t, height=hp,
                          width=wp, lora_rank=self.lora_rank, liem=self.liem,
                          dtype=self.dtype,
                          sp_mesh=self.sp_mesh, sp_axis=self.sp_axis)
-        if self.sp_mesh is not None and self.sp_mesh.shape[self.sp_axis] > 1:
-            n = self.sp_mesh.shape[self.sp_axis]
-            s_total = self.text_length + t * hp * wp
-            assert s_total % n == 0 and self.num_heads % n == 0, (
-                f'Ulysses SP needs seq ({s_total}) and heads '
-                f'({self.num_heads}) divisible by {self.sp_axis!r}={n}')
+        s_real = self.text_length + t * hp * wp
+        sp_n = (self.sp_mesh.shape[self.sp_axis]
+                if self.sp_mesh is not None else 1)
+        # Carry the residual stream at a padded length: multiple of 16 so
+        # the packed flash kernel finds divisor blocks (9676 -> 9680 — the
+        # explicit pads cost ~45 ms/step in the r3 trace), and of the SP
+        # axis so non-divisible sequences work sharded (round-2 review
+        # item 8). Layers slice the real image rows for LIEM and mask the
+        # dead tail out of attention (kv_valid); the tail is dropped before
+        # the final layer.
+        mult = 16 * sp_n // math.gcd(16, sp_n)
+        s_pad = -(-s_real // mult) * mult
+        if s_pad != s_real:
+            h_states = jnp.pad(h_states,
+                               ((0, 0), (0, s_pad - s_real), (0, 0)))
+        if sp_n > 1:
+            assert self.num_heads % sp_n == 0, (
+                f'Ulysses SP needs heads ({self.num_heads}) divisible by '
+                f'{self.sp_axis!r}={sp_n}')
             # keep the residual stream sequence-sharded between layers so
             # per-device activation memory scales 1/P (the point of SP)
             h_states = jax.lax.with_sharding_constraint(
                 h_states, NamedSharding(self.sp_mesh,
                                         P(None, self.sp_axis, None)))
+
+        # full-sequence head-tiled RoPE tables with identity rows for the
+        # text tokens and the pad tail (layers apply qk-LN + RoPE as ONE
+        # natural-layout elementwise chain — qk_ln_rope)
+        hd_ = c // self.num_heads
+        cos_np, sin_np = rope_3d_tables(t, hp, wp, hd_)
+        cos_full = np.ones((s_pad, c), np.float32)
+        sin_full = np.zeros((s_pad, c), np.float32)
+        cos_full[self.text_length:s_real] = np.tile(cos_np,
+                                                    (1, self.num_heads))
+        sin_full[self.text_length:s_real] = np.tile(sin_np,
+                                                    (1, self.num_heads))
+        rope_cos = jnp.asarray(cos_full, jnp.float32)
+        rope_sin = jnp.asarray(sin_full, jnp.float32)
 
         if self.scan_layers:
             # one traced layer, scanned over stacked per-layer params
@@ -380,8 +458,8 @@ class CogVideoDiT(nn.Module):
                            jnp.float32)
         h_states = layer_norm(h_states, pscale, pbias, eps=1e-5)
 
-        # final layer (dit_video_concat.py:372-410)
-        img = h_states[:, self.text_length:]
+        # final layer (dit_video_concat.py:372-410); drop any SP pad tail
+        img = h_states[:, self.text_length:self.text_length + t * hp * wp]
         fscale = self.param('final_ln_scale', nn.initializers.ones, (c,),
                             jnp.float32)
         fbias = self.param('final_ln_bias', nn.initializers.zeros, (c,),

@@ -83,13 +83,14 @@ class Attention(nn.Module):
         inner = self.num_heads * self.head_dim
         dense = lambda feats, name, bias: nn.Dense(
             feats, use_bias=bias, dtype=self.dtype, name=name)
-        b, sq, _ = x.shape
-        sk = context.shape[1]
-        q = dense(inner, 'to_q', False)(x).reshape(b, sq, self.num_heads, self.head_dim)
-        k = dense(inner, 'to_k', False)(context).reshape(b, sk, self.num_heads, self.head_dim)
-        v = dense(inner, 'to_v', False)(context).reshape(b, sk, self.num_heads, self.head_dim)
-        out = dot_product_attention(q, k, v)
-        out = out.reshape(b, sq, inner)
+        q = dense(inner, 'to_q', False)(x)
+        k = dense(inner, 'to_k', False)(context)
+        v = dense(inner, 'to_v', False)(context)
+        # natural-layout entry: picks the packed flash kernel on TPU for
+        # long self-attention with even head counts (no head transpose),
+        # the unpacked flash for odd head counts, XLA for short/cross attn
+        from ...ops.attention import dot_product_attention_packed
+        out = dot_product_attention_packed(q, k, v, self.num_heads)
         return dense(self.out_dim, 'to_out', True)(out)
 
 

@@ -54,72 +54,50 @@ def _pick_nblock(n: int, target: int = 128) -> int | None:
     return None
 
 
-def _head_chunks(h: int, d: int):
-    """Split the H*D lane dim into 128-wide head pairs (+ a 64 tail when H is
-    odd). Each chunk is (lane offset, lane width, heads in chunk)."""
-    chunks = []
-    off = 0
-    heads_left = h
-    while heads_left >= 2:
-        chunks.append((off, 2 * d, 2))
-        off += 2 * d
-        heads_left -= 2
-    if heads_left:
-        chunks.append((off, d, 1))
-    return chunks
-
-
 def _temporal_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, h: int,
                      d: int):
     f = q_ref.shape[1]
     nb = q_ref.shape[2]
+    hd = q_ref.shape[3]
     c = scale * LOG2E
-    outs = []
-    for off, w, nheads in _head_chunks(h, d):
-        qp = q_ref[0][:, :, off:off + w]                  # [F, nb, w] bf16
-        kp = k_ref[0][:, :, off:off + w]
-        vp = v_ref[0][:, :, off:off + w]
+    q2 = q_ref[0]                                     # [F, nb, HD] bf16
+    k2 = k_ref[0]
+    v2 = v_ref[0]
 
-        # keepdims lane-reduces keep nb on the SUBLANES end to end: logits
-        # are born [F, nb, 1], exactly the shape the pv lane-broadcast wants.
-        # (Reducing the lane dim away instead moves nb onto the lanes, and
-        # the stack/transpose needed to get back lowered to an unsupported
-        # gather in Mosaic.) The qk product is bf16 with fp32 accumulation
-        # (MXU semantics, same as the flash kernel's dots); the scale/log2e
-        # factor is applied exactly on the tiny reduced logits. exp weights
-        # are fixed-reference exp2 (no row max — see ops/flash_attention.py).
-        # Measured variants at (F=8, HD=512, N=14400): this stored-weights
-        # form 7.5 ms; two-pass recompute 7.5 ms; lane-packing the logits to
-        # [F, nb, G] before the exp 10.5 ms (the pack/unpack lane shifts cost
-        # more than the padded one-lane exp tiles they save).
-        probs = []
-        denoms = [jnp.zeros((f, nb, 1), jnp.float32) for _ in range(nheads)]
-        for g in range(f):
-            prod = qp * kp[g][None]                       # [F, nb, w]
-            row = []
-            for hh in range(nheads):
-                l = jnp.sum(prod[:, :, hh * d:(hh + 1) * d]
-                            .astype(jnp.float32), axis=-1, keepdims=True) * c
-                p = jnp.exp2(jnp.minimum(l, 120.0))       # [F, nb, 1]
-                denoms[hh] = denoms[hh] + p
-                row.append(p)
-            probs.append(row)
+    # The per-head d-lane reduction runs on the MXU as a block-diagonal-ones
+    # matmul: [F*nb, HD] @ [HD, H] sums each head's 64 lanes in the fp32
+    # accumulators, replacing the r2 kernel's 6-step lane-rotate reduces
+    # (the VPU bottleneck: ~6 passes per (g, head) over the product tile)
+    # and collapsing the F*G*H padded one-lane exp tiles into G [F*nb, H]
+    # tiles.
+    lane = jax.lax.broadcasted_iota(jnp.int32, (hd, h), 0)
+    head = jax.lax.broadcasted_iota(jnp.int32, (hd, h), 1)
+    ones_bd = (lane // d == head).astype(q2.dtype)
 
-        # accumulate with UNNORMALIZED exp2 weights (bf16 spans the same
-        # exponent range as fp32, so 2^<=120 weights are representable) and
-        # divide once at the end — one full-width multiply instead of G·H
-        # padded one-lane normalizations
-        acc = jnp.zeros((f, nb, w), jnp.float32)
-        for g in range(f):
-            pg = jnp.concatenate(
-                [jnp.broadcast_to(probs[g][hh].astype(qp.dtype), (f, nb, d))
-                 for hh in range(nheads)], axis=-1)       # [F, nb, w]
-            acc = acc + (pg * vp[g][None]).astype(jnp.float32)
-        inv = jnp.concatenate(
-            [jnp.broadcast_to(1.0 / jnp.maximum(dn, 1e-30), (f, nb, d))
-             for dn in denoms], axis=-1)                  # [F, nb, w] fp32
-        outs.append(acc * inv)
-    o_ref[0] = jnp.concatenate(outs, axis=-1).astype(o_ref.dtype)
+    ps = []
+    denom = jnp.zeros((f * nb, h), jnp.float32)
+    for g in range(f):
+        prod = q2 * k2[g][None]                       # [F, nb, HD] bf16
+        l = jax.lax.dot_general(prod.reshape(f * nb, hd), ones_bd,
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32) * c
+        p = jnp.exp2(jnp.minimum(l, 120.0))           # [F*nb, H] fp32
+        denom = denom + p
+        ps.append(p)
+
+    # accumulate with UNNORMALIZED exp2 weights (bf16 spans the same
+    # exponent range as fp32, so 2^<=120 weights are representable) and
+    # divide once at the end — one full-width multiply instead of G·H
+    # padded one-lane normalizations
+    bcast = lambda t: jnp.concatenate(
+        [jnp.broadcast_to(t[:, hh:hh + 1].reshape(f, nb, 1), (f, nb, d))
+         for hh in range(h)], axis=-1)                # [F, nb, HD]
+    acc = jnp.zeros((f, nb, hd), jnp.float32)
+    for g in range(f):
+        pg = bcast(ps[g]).astype(v2.dtype)
+        acc = acc + (pg * v2[g][None]).astype(jnp.float32)
+    inv = bcast(1.0 / jnp.maximum(denom, 1e-30))      # [F, nb, HD] fp32
+    o_ref[0] = (acc * inv).astype(o_ref.dtype)
 
 
 def _xla_reference(q4, k4, v4, scale, h, d):

@@ -49,6 +49,8 @@ class CogTrainConfig:
     shift_scale: float = 1.0
     freq_loss: bool = True
     freq_grad: bool = False
+    ema_decay: float = 0.0        # 0 disables; reference SAT carries EMA
+    #                               (diffusion_video.py use_ema hooks)
 
 
 def make_cog_optimizer(cfg: CogTrainConfig, params: Any):
@@ -58,6 +60,19 @@ def make_cog_optimizer(cfg: CogTrainConfig, params: Any):
                           cog_trainable_mask(params))
     return optax.multi_transform({'train': tx, 'freeze': optax.set_to_zero()},
                                  labels)
+
+
+def make_cog_train_state(cfg: CogTrainConfig, params: Any):
+    """(TrainState, tx) — mirrors trainer.make_train_state for the Cog side
+    (EMA shadow params when ema_decay > 0, frozen leaves stateless)."""
+    from .trainer import TrainState
+    tx = make_cog_optimizer(cfg, params)
+    ema = None
+    if cfg.ema_decay > 0:
+        from .ema import init_ema
+        ema = init_ema(params)
+    return TrainState(jnp.zeros((), jnp.int32), params, tx.init(params),
+                      ema), tx
 
 
 def make_cog_train_step(cfg: CogTrainConfig, dit_apply: Callable[..., Any],
@@ -105,7 +120,13 @@ def make_cog_train_step(cfg: CogTrainConfig, dit_apply: Callable[..., Any],
             state.params, batch, idx, noise)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
+        ema = state.ema_params
+        if cfg.ema_decay > 0 and ema is not None:
+            from .ema import update_ema
+            ema = update_ema(ema, params, cfg.ema_decay)
         from .trainer import TrainState
-        return TrainState(state.step + 1, params, opt_state), metrics
+        metrics = dict(metrics)
+        metrics['grad_norm'] = optax.global_norm(grads)
+        return TrainState(state.step + 1, params, opt_state, ema), metrics
 
     return train_step

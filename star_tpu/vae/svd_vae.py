@@ -227,6 +227,12 @@ class SVDTemporalVAE(nn.Module):
     """
     dtype: jnp.dtype = jnp.float32
     decode_window: int = 3  # reference decodes 3-frame windows (:127)
+    decode_batch: int = 2   # windows decoded together per lax.map step:
+    #                         windows are independent (zero temporal pad at
+    #                         window edges), so batching them amortizes the
+    #                         decoder's layout/GN-bound VPU work; a FULLY
+    #                         batched 720p decode OOMs (measured
+    #                         RESOURCE_EXHAUSTED on v5e), 2/step fits
 
     def setup(self):
         self.encoder = Encoder(dtype=self.dtype, name='encoder')
@@ -262,16 +268,26 @@ class SVDTemporalVAE(nn.Module):
         b, f, hh, ww, c = z.shape
         win = self.decode_window
         n_full = f // win
+        gb = max(1, self.decode_batch)
         outs = []
         if n_full:
-            zw = z[:, :n_full * win].reshape(b, n_full, win, hh, ww, c)
-            zw = zw.transpose(1, 0, 2, 3, 4, 5)          # [n, B, win, h, w, c]
-            if n_full == 1:
-                dec = self.decoder(zw[0])[None]
-            else:
-                dec = jax.lax.map(self.decoder, zw)      # [n, B, win, H, W, 3]
-            dec = dec.transpose(1, 0, 2, 3, 4, 5)
-            outs.append(dec.reshape(b, n_full * win, hh * 8, ww * 8, -1))
+            n_grp = n_full // gb
+            n_head = n_grp * gb                          # windows in groups
+            if n_grp:
+                zw = z[:, :n_head * win].reshape(b, n_grp, gb, win, hh, ww, c)
+                # [n_grp, gb*B, win, h, w, c]: gb windows fold into the
+                # decoder's batch dim per map step
+                zw = zw.transpose(1, 2, 0, 3, 4, 5, 6).reshape(
+                    n_grp, gb * b, win, hh, ww, c)
+                if n_grp == 1:
+                    dec = self.decoder(zw[0])[None]
+                else:
+                    dec = jax.lax.map(self.decoder, zw)
+                dec = dec.reshape(n_grp, gb, b, win, hh * 8, ww * 8, -1)
+                dec = dec.transpose(2, 0, 1, 3, 4, 5, 6)
+                outs.append(dec.reshape(b, n_head * win, hh * 8, ww * 8, -1))
+            for i in range(n_head, n_full):              # leftover windows
+                outs.append(self.decoder(z[:, i * win:(i + 1) * win]))
         rem = f - n_full * win
         if rem:
             outs.append(self.decoder(z[:, n_full * win:]))

@@ -95,16 +95,44 @@ def test_dit_ulysses_sp_matches_unsharded(eight_devices):
                                atol=2e-5, rtol=1e-4)
 
 
-def test_dit_sp_rejects_indivisible_seq(eight_devices):
+def test_ulysses_pads_indivisible_seq(eight_devices):
+    """s % axis != 0 pads + masks instead of asserting (round-2 review
+    item 8); result equals the unsharded attention on the real rows."""
+    mesh = make_mesh(context=4)
+    b, s, h, d = 1, 61, 4, 16            # 61 % 4 != 0
+    ks = jax.random.split(jax.random.PRNGKey(7), 3)
+    q = jax.random.normal(ks[0], (b, s, h, d))
+    k = jax.random.normal(ks[1], (b, s, h, d))
+    v = jax.random.normal(ks[2], (b, s, h, d))
+    ref = dot_product_attention(q, k, v)
+    with mesh:
+        got = jax.jit(lambda q, k, v: ulysses_attention(q, k, v, mesh))(
+            q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_dit_sp_indivisible_seq_matches_unsharded(eight_devices):
+    """CogVideoDiT under SP with seq % axis != 0 (odd-frame clips at
+    context=4): the stream carries masked dead tail rows and the output
+    matches the plain forward (round-2 review item 8)."""
     from star_tpu.models.dit.dit import CogVideoDiT
 
-    mesh = make_mesh(context=4)
     # seq = 7 + 2*4*4 = 39, not divisible by 4
-    sp = CogVideoDiT(hidden_size=64, num_layers=1, num_heads=4, patch_size=2,
-                     latent_channels=4, text_hidden_size=32, text_length=7,
-                     time_embed_dim=16, sp_mesh=mesh)
-    x = jnp.zeros((1, 2, 8, 8, 8))
-    with pytest.raises(AssertionError, match='Ulysses'):
-        with mesh:
-            sp.init(jax.random.PRNGKey(0), x, jnp.zeros((1,), jnp.int32),
-                    jnp.zeros((1, 7, 32)))
+    kw = dict(hidden_size=64, num_layers=2, num_heads=4, patch_size=2,
+              latent_channels=4, text_hidden_size=32, text_length=7,
+              time_embed_dim=16)
+    b, t, h, w = 1, 2, 8, 8
+    x = jax.random.normal(jax.random.PRNGKey(8), (b, t, h, w, 8))
+    ti = jnp.array([5], jnp.int32)
+    ctx = jax.random.normal(jax.random.PRNGKey(9), (b, 7, 32))
+
+    plain = CogVideoDiT(**kw)
+    params = plain.init(jax.random.PRNGKey(10), x, ti, ctx)
+    expect = plain.apply(params, x, ti, ctx)
+
+    mesh = make_mesh(context=4)
+    sp = CogVideoDiT(**kw, sp_mesh=mesh, sp_axis='context')
+    with mesh:
+        got = jax.jit(sp.apply)(params, x, ti, ctx)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expect),
+                               atol=2e-5, rtol=1e-4)

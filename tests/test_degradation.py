@@ -125,3 +125,19 @@ def test_codec_proxy_blocks_and_smears():
     # codec_roundtrip falls back to the proxy without PyAV (not a no-op)
     rt = codec_roundtrip(frames, seed=3)
     assert rt.shape == frames.shape and np.abs(rt - frames).mean() > 0.003
+
+
+def test_mid_recipe_targets_final_size_in_stage1():
+    """degrade_video_mid.py variant: stage 1 resizes toward the final LR
+    size; outputs keep the contract and differ from the default recipe."""
+    import numpy as np
+    from star_tpu.data.degradation import degrade_video
+
+    gt = np.random.RandomState(0).uniform(0, 1, (2, 64, 64, 3)) \
+        .astype(np.float32)
+    lq_mid, _ = degrade_video(gt, scale=4, seed=3, use_codec=False,
+                              recipe='mid')
+    lq_def, _ = degrade_video(gt, scale=4, seed=3, use_codec=False)
+    assert lq_mid.shape == lq_def.shape == (2, 16, 16, 3)
+    assert np.isfinite(lq_mid).all()
+    assert not np.allclose(lq_mid, lq_def)

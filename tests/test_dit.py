@@ -6,7 +6,8 @@ import numpy as np
 import pytest
 
 from star_tpu.models.dit.dit import (CogVideoDiT, rope_3d_tables,
-                                     apply_rope, rotate_half_interleaved)
+                                     apply_rope, rope_head_perm,
+                                     rotate_half_split)
 
 TINY = dict(hidden_size=64, num_layers=2, num_heads=4, patch_size=2,
             latent_channels=4, text_hidden_size=32, text_length=8,
@@ -81,10 +82,17 @@ def test_rope_rotation_preserves_norm():
                                rtol=1e-5)
 
 
-def test_rotate_half_interleaved():
-    x = jnp.arange(6.0)[None]
-    y = rotate_half_interleaved(x)
-    np.testing.assert_allclose(np.asarray(y)[0], [-1, 0, -3, 2, -5, 4])
+def test_rotate_half_split_matches_interleaved_reference():
+    """Half-split rotate in the permuted basis == the reference's
+    interleaved rotate (dit_video_concat.py:247-251) mapped through
+    rope_head_perm — the logit-preserving TPU layout change."""
+    d = 8
+    perm = rope_head_perm(d)
+    x = jnp.arange(float(d))[None]
+    # reference interleaved rotate: (-x1, x0, -x3, x2, ...)
+    ref = np.asarray([-1, 0, -3, 2, -5, 4, -7, 6], np.float32)
+    got = np.asarray(rotate_half_split(x[:, perm]))[0]
+    np.testing.assert_allclose(got, ref[perm])
 
 
 def test_lora_zero_init_is_identity(dit):

@@ -85,7 +85,8 @@ def test_dit_golden_forward():
 
     cfg = json.loads(str(data['config_json']))
     sd = {k[4:]: data[k] for k in data.files if k.startswith('sd::')}
-    params = convert_dit(sd, num_layers=cfg['num_layers'])
+    params = convert_dit(sd, num_layers=cfg['num_layers'],
+                         num_heads=cfg['num_attention_heads'])
     model = CogVideoDiT(hidden_size=cfg['hidden_size'],
                         num_layers=cfg['num_layers'],
                         num_heads=cfg['num_attention_heads'],

@@ -102,7 +102,7 @@ def test_dit_converter_stacks_layers():
         for i in range(nl):
             sd[src_t.format(i=i)] = np.full(_invert(fn, per), float(i),
                                             np.float32)
-    tree = convert_dit(sd, num_layers=nl)
+    tree = convert_dit(sd, num_layers=nl, num_heads=4)
     problems = verify_against_init(tree, init)
     assert not problems, problems[:8]
     # per-layer values land on the right slice of the stacked axis
