@@ -93,28 +93,6 @@ def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
     return (x32 * c + rotate_half_split(x32) * s).astype(x.dtype)
 
 
-def qk_ln_rope(x: jax.Array, scale: jax.Array, bias: jax.Array,
-               cos_full: jax.Array, sin_full: jax.Array, num_heads: int,
-               eps: float = 1e-6) -> jax.Array:
-    """Fused per-head qk-LayerNorm + RoPE in the natural [B, S, H*D] layout.
-
-    cos/sin_full: [S, H*D] head-tiled tables with identity rows (cos=1,
-    sin=0) where no rotation applies — text tokens and any dead pad tail.
-    One bf16-in/bf16-out elementwise chain with fp32 stats; the r3 trace
-    showed the previous text/img-split 4-D formulation materializing ~400 ms
-    of fp32 relayout/slice/concat passes per CogVideoX step."""
-    b, s, c = x.shape
-    d = c // num_heads
-    x32 = x.astype(jnp.float32).reshape(b, s, num_heads, d)
-    mean = x32.mean(-1, keepdims=True)
-    var = x32.var(-1, keepdims=True)
-    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
-    y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
-    half = d // 2
-    rot = jnp.concatenate([-y[..., half:], y[..., :half]], axis=-1)
-    out = (y.reshape(b, s, c) * cos_full[None]
-           + rot.reshape(b, s, c) * sin_full[None])
-    return out.astype(x.dtype)
 
 
 def modulate(x, shift, scale):
@@ -256,14 +234,20 @@ class DiTLayer(nn.Module):
                         dtype=self.dtype, name='qkv')(attn_in)
         q, k, v = jnp.split(qkv, 3, axis=-1)           # natural [B, S, C]
         # qk-LN (per layer, shared across heads; dit_video_concat.py:467-480)
-        # fused with the 3D RoPE in natural layout: rope_cos/rope_sin are
-        # full-sequence head-tiled tables whose text/tail rows are identity
-        # rotations (dit_video_concat.py:332-333 rotates image tokens only)
+        # fused with the 3D RoPE as ONE Pallas pass in natural layout
+        # (ops/qk_ln_rope.py): rope_cos/rope_sin are full-sequence
+        # head-tiled tables whose text/tail rows are identity rotations
+        # (dit_video_concat.py:332-333 rotates image tokens only). The
+        # attention softmax scale*log2e folds into q's LN affine (rotation
+        # commutes with scalar scale), so the flash kernel skips its own
+        # fold pass (prescaled=True).
+        from ...ops.qk_ln_rope import LOG2E, qk_ln_rope
         q = qk_ln_rope(q, self.param('q_ln_scale', nn.initializers.ones,
                                      (hd,), jnp.float32),
                        self.param('q_ln_bias', nn.initializers.zeros,
                                   (hd,), jnp.float32),
-                       rope_cos, rope_sin, self.num_heads)
+                       rope_cos, rope_sin, self.num_heads,
+                       fold_scale=LOG2E / math.sqrt(hd))
         k = qk_ln_rope(k, self.param('k_ln_scale', nn.initializers.ones,
                                      (hd,), jnp.float32),
                        self.param('k_ln_bias', nn.initializers.zeros,
@@ -278,9 +262,10 @@ class DiTLayer(nn.Module):
                 f'Ulysses SP needs heads ({self.num_heads}) and the padded '
                 f'seq ({s}) divisible by the {self.sp_axis!r} size {sp_n}')
             from ...parallel.ulysses import ulysses_attention
+            from ...ops.flash_attention import LN2
             to4 = lambda t: t.reshape(b, s, self.num_heads, hd)
             attn = ulysses_attention(to4(q), to4(k), to4(v), self.sp_mesh,
-                                     self.sp_axis,
+                                     self.sp_axis, scale=LN2,
                                      kv_valid=valid if valid < s else None)
             attn = attn.reshape(b, s, self.hidden_size)
         else:
@@ -290,7 +275,7 @@ class DiTLayer(nn.Module):
             from ...ops.attention import dot_product_attention_packed
             attn = dot_product_attention_packed(
                 q, k, v, self.num_heads,
-                kv_valid=valid if valid < s else None)
+                kv_valid=valid if valid < s else None, prescaled=True)
         attn = LoraDense(self.hidden_size, self.lora_rank, dtype=self.dtype,
                          name='dense')(attn)
 

@@ -83,7 +83,8 @@ def dot_product_attention(q: jax.Array, k: jax.Array, v: jax.Array,
 def dot_product_attention_packed(q: jax.Array, k: jax.Array, v: jax.Array,
                                  num_heads: int, scale: float | None = None,
                                  kv_valid: int | None = None,
-                                 backend: str | None = None) -> jax.Array:
+                                 backend: str | None = None,
+                                 prescaled: bool = False) -> jax.Array:
     """Natural-layout attention: q/k/v [B, S, H*D] -> [B, S, H*D].
 
     On TPU at long sequences this takes the packed Pallas kernel, which
@@ -104,10 +105,14 @@ def dot_product_attention_packed(q: jax.Array, k: jax.Array, v: jax.Array,
     if be == 'pallas':
         from .flash_attention import flash_attention_packed
         return flash_attention_packed(q, k, v, num_heads, scale,
-                                      kv_valid=kv_valid)
+                                      kv_valid=kv_valid,
+                                      prescaled=prescaled)
     # fall back through the 4D entry (which itself picks unpacked flash on
     # TPU / XLA elsewhere) — never route a 14k-token sequence to the
     # logits-materializing XLA path just because the head count is odd
+    if prescaled:
+        from .flash_attention import LN2
+        scale = LN2          # q already carries scale*log2e
     to4 = lambda t: t.reshape(t.shape[0], t.shape[1], num_heads, d)
     kv = k.shape[1] if kv_valid is None else min(kv_valid, k.shape[1])
     out = dot_product_attention(

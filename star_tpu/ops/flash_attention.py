@@ -298,12 +298,14 @@ def _flash_packed_kernel(*refs, d: int, masked: bool, exp_bf16: bool):
 
 def _packed_fwd_impl(qn, kn, vn, num_heads: int, scale: float, bq: int,
                      bk: int, interpret: bool, exp_bf16: bool,
-                     kv_valid: int | None = None):
+                     kv_valid: int | None = None, prescaled: bool = False):
     """qn/kn/vn: [B, S, H*D] natural layout -> out [B, S, H*D].
 
     kv_valid: number of real key rows (< S when the caller carried dead
     pad rows through the projection, e.g. CogVideoX's 9676 -> 9680); the
     tail gets a -inf additive bias so it never receives weight.
+    prescaled: q already carries scale*log2(e) (e.g. folded into a fused
+    LN prologue) — skip the fold pass here.
     """
     b, sq, hd_total = qn.shape
     skv = kn.shape[1]
@@ -311,7 +313,8 @@ def _packed_fwd_impl(qn, kn, vn, num_heads: int, scale: float, bq: int,
     lane = 128
     assert hd_total % lane == 0 and lane % d == 0, (hd_total, d)
     hp = hd_total // lane
-    qn = (qn.astype(jnp.float32) * (scale * LOG2E)).astype(qn.dtype)
+    if not prescaled:
+        qn = (qn.astype(jnp.float32) * (scale * LOG2E)).astype(qn.dtype)
 
     bq_eff = _pick_block(sq, min(bq, -(-sq // 16) * 16))
     bk_eff = _pick_block(skv, min(bk, -(-skv // 128) * 128))
@@ -362,12 +365,13 @@ def _packed_fwd_impl(qn, kn, vn, num_heads: int, scale: float, bq: int,
     return out[:, :sq]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9, 10))
 def flash_attention_packed(q: jax.Array, k: jax.Array, v: jax.Array,
                            num_heads: int, scale: float | None = None,
                            bq: int = DEFAULT_BQ, bk: int = DEFAULT_BK,
                            interpret: bool = False, exp_bf16: bool = False,
-                           kv_valid: int | None = None) -> jax.Array:
+                           kv_valid: int | None = None,
+                           prescaled: bool = False) -> jax.Array:
     """Natural-layout flash attention: q/k/v [B, S, H*D] -> [B, S, H*D].
 
     No head transpose on either side — the projection output feeds the
@@ -379,26 +383,30 @@ def flash_attention_packed(q: jax.Array, k: jax.Array, v: jax.Array,
     d = q.shape[-1] // num_heads
     s = (1.0 / math.sqrt(d)) if scale is None else scale
     return _packed_fwd_impl(q, k, v, num_heads, s, bq, bk, interpret,
-                            exp_bf16, kv_valid)
+                            exp_bf16, kv_valid, prescaled)
 
 
 def _packed_fwd(q, k, v, num_heads, scale, bq, bk, interpret, exp_bf16,
-                kv_valid):
+                kv_valid, prescaled=False):
     b, sq, hd_total = q.shape
     skv = k.shape[1]
     d = hd_total // num_heads
+    # prescaled q carries scale*log2e already: gradients wrt the prescaled
+    # input are consistent with an effective scale of ln2
+    s_eff = LN2 if prescaled else scale
     to4 = lambda t: t.reshape(t.shape[0], t.shape[1], num_heads, d)
     if kv_valid is not None and kv_valid < skv:
         k4, v4 = to4(k[:, :kv_valid]), to4(v[:, :kv_valid])
     else:
         k4, v4 = to4(k), to4(v)
-    out4, res = _fwd(to4(q), k4, v4, scale, bq, bk, interpret, True)
+    out4, res = _fwd(to4(q), k4, v4, s_eff, bq, bk, interpret, True)
     return out4.reshape(b, sq, hd_total), (res, skv)
 
 
 def _packed_bwd(num_heads, scale, bq, bk, interpret, exp_bf16, kv_valid,
-                residuals, g):
+                prescaled, residuals, g):
     res, skv = residuals
+    scale = LN2 if prescaled else scale
     b, sq, hd_total = g.shape
     d = hd_total // num_heads
     g4 = g.reshape(b, sq, num_heads, d)

@@ -42,13 +42,20 @@ def group_norm(x: jax.Array, scale: jax.Array, bias: jax.Array,
     # fold (x - mean) * inv * scale + bias into x * a + b with per-(batch,
     # channel) fp32 coefficients broadcast in the original layout
     scale32 = scale.astype(jnp.float32).reshape(num_groups, c // num_groups)
-    bias32 = bias.astype(jnp.float32).reshape(num_groups, c // num_groups)
     a = inv * scale32          # [B,1,G,C//G]
-    b = bias32 - mean * a
     bcast = (orig_shape[0],) + (1,) * (x.ndim - 2) + (c,)
-    a = a.reshape(bcast)
-    b = b.reshape(bcast)
-    y = x.astype(jnp.float32) * a + b
+    mean_b = jnp.broadcast_to(
+        mean, (orig_shape[0], 1, num_groups, c // num_groups)).reshape(bcast)
+    a = jnp.broadcast_to(
+        a, (orig_shape[0], 1, num_groups, c // num_groups)).reshape(bcast)
+    # apply in the COMPUTE dtype: coefficients are fp32-derived (the fp32-
+    # statistics island), but the bulk math stays bf16 — the fp32 upcast
+    # materialized 5.3GB broadcast temps in the 720p VAE decoder (OOM at
+    # decode_batch=2) and doubles HBM traffic everywhere. Subtract-first
+    # form: (x - mean) is exact-ish for x near mean (Sterbenz), avoiding
+    # the folded x*a+b form's large-magnitude rounding; e2e drift is
+    # bounded by test_bf16_gate.
+    y = (x - mean_b.astype(dtype)) * a.astype(dtype) + bias.astype(dtype)
     return y.astype(dtype)
 
 

@@ -227,12 +227,13 @@ class SVDTemporalVAE(nn.Module):
     """
     dtype: jnp.dtype = jnp.float32
     decode_window: int = 3  # reference decodes 3-frame windows (:127)
-    decode_batch: int = 2   # windows decoded together per lax.map step:
+    decode_batch: int = 3   # windows decoded together per lax.map step:
     #                         windows are independent (zero temporal pad at
-    #                         window edges), so batching them amortizes the
-    #                         decoder's layout/GN-bound VPU work; a FULLY
-    #                         batched 720p decode OOMs (measured
-    #                         RESOURCE_EXHAUSTED on v5e), 2/step fits
+    #                         window edges). Measured at 720p/9f on v5e:
+    #                         gb=1 5.6 fps, gb=2 5.59, gb=3 6.25 (one
+    #                         9-frame decoder call, no map); a FULLY
+    #                         batched 32f decode OOMs. Clamped to the
+    #                         window count.
 
     def setup(self):
         self.encoder = Encoder(dtype=self.dtype, name='encoder')
@@ -268,7 +269,7 @@ class SVDTemporalVAE(nn.Module):
         b, f, hh, ww, c = z.shape
         win = self.decode_window
         n_full = f // win
-        gb = max(1, self.decode_batch)
+        gb = max(1, min(self.decode_batch, n_full if n_full else 1))
         outs = []
         if n_full:
             n_grp = n_full // gb

@@ -171,3 +171,53 @@ def test_packed_gradients():
         np.testing.assert_allclose(got, np.asarray(want),
                                    atol=2e-4, rtol=1e-3)
         assert np.all(got[:, valid:] == 0)
+
+
+def test_qk_ln_rope_kernel_matches_reference():
+    """Pallas qk-LN+RoPE prologue (interpret) == the jnp reference, incl.
+    scale folding and identity table rows."""
+    from star_tpu.ops.qk_ln_rope import qk_ln_rope, qk_ln_rope_reference
+
+    b, s, h, d = 2, 80, 4, 64
+    c = h * d
+    ks = jax.random.split(jax.random.PRNGKey(11), 5)
+    x = jax.random.normal(ks[0], (b, s, c), jnp.float32) * 2 + 0.5
+    scale = 1.0 + 0.1 * jax.random.normal(ks[1], (d,))
+    bias = 0.1 * jax.random.normal(ks[2], (d,))
+    ang = jax.random.uniform(ks[3], (s, c)) * 3.0
+    cos, sin = jnp.cos(ang), jnp.sin(ang)
+    # identity rows at the front (text) like the DiT tables
+    cos = cos.at[:7].set(1.0)
+    sin = sin.at[:7].set(0.0)
+
+    for fold in (1.0, 0.25):
+        ref = qk_ln_rope_reference(x, scale, bias, cos, sin, h,
+                                   fold_scale=fold)
+        got = qk_ln_rope(x, scale, bias, cos, sin, h, fold_scale=fold,
+                         lane_chunk=128, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=3e-5, rtol=1e-4)
+
+
+def test_packed_prescaled_matches_scaled():
+    """prescaled=True on q pre-multiplied by scale*log2e == the normal
+    path (forward and gradients)."""
+    from star_tpu.ops.flash_attention import (LOG2E, flash_attention_packed)
+
+    b, s, h, d = 1, 128, 2, 64
+    ks = jax.random.split(jax.random.PRNGKey(12), 3)
+    mk = lambda k: jax.random.normal(k, (b, s, h * d), jnp.float32) * 0.5
+    q, k, v = mk(ks[0]), mk(ks[1]), mk(ks[2])
+    scale = 1.0 / np.sqrt(d)
+    base = flash_attention_packed(q, k, v, h, scale, 64, 64, True)
+    pre = flash_attention_packed(q * (scale * LOG2E), k, v, h, None,
+                                 64, 64, True, False, None, True)
+    np.testing.assert_allclose(np.asarray(pre), np.asarray(base), atol=2e-5)
+
+    g1 = jax.grad(lambda q_: jnp.sum(flash_attention_packed(
+        q_, k, v, h, scale, 64, 64, True) ** 2))(q)
+    g2 = jax.grad(lambda q_: jnp.sum(flash_attention_packed(
+        q_ * (scale * LOG2E), k, v, h, None, 64, 64, True, False, None,
+        True) ** 2))(q)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(g1),
+                               atol=2e-4, rtol=1e-3)

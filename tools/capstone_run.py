@@ -1,8 +1,11 @@
 """Full-size end-to-end capstone on one chip: 8 frames 180x320 -> 720x1280
 through STARPipeline.enhance_a_video in ONE jitted graph (bf16 zero weights:
-real shapes/graph, meaningless pixels). Prints warm wall time + output fps.
+real shapes/graph, meaningless pixels). Prints warm wall time + output fps;
+--profile additionally prints a per-STAGE device-time budget (denoise /
+vae-decode / vae-encode / text / other) binned from the op_name module paths
+in the xplane trace.
 
-    python tools/capstone_run.py [--frames 8]
+    python tools/capstone_run.py [--frames 8] [--profile /tmp/cap_trace]
 """
 
 import argparse
@@ -13,9 +16,66 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def stage_budget(trace_dir: str):
+    """Bin device-op time into encode-prep / denoise / decode-post stages.
+
+    The capstone graph executes its stages sequentially on device and the
+    xplane events carry only HLO names + device offsets (no module-path
+    metadata), so the robust split is temporal: the solver scan is the
+    longest `while` event; everything before its span is upsample+pad+VAE
+    encode, inside is denoising, after is VAE decode+unpad+AdaIN."""
+    import collections
+    import glob
+
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+    paths = glob.glob(os.path.join(trace_dir, '**', '*.xplane.pb'),
+                      recursive=True)
+    assert paths, f'no xplane.pb under {trace_dir}'
+    events = []
+    for path in paths:
+        xs = xplane_pb2.XSpace()
+        with open(path, 'rb') as fh:
+            xs.ParseFromString(fh.read())
+        for plane in xs.planes:
+            if 'TPU' not in plane.name and 'device' not in plane.name.lower():
+                continue
+            ev_meta = plane.event_metadata
+            stat_names = {m.id: m.name for m in plane.stat_metadata.values()}
+            for line in plane.lines:
+                if line.name != 'XLA Ops':
+                    continue
+                for ev in line.events:
+                    off, dur = ev.offset_ps, ev.duration_ps
+                    for st in ev.stats:
+                        n = stat_names.get(st.metadata_id, '')
+                        if n == 'device_offset_ps':
+                            off = st.uint64_value or st.int64_value
+                        elif n == 'device_duration_ps':
+                            dur = st.uint64_value or st.int64_value
+                    events.append((ev_meta[ev.metadata_id].name, off, dur))
+    whiles = [(n, o, d) for n, o, d in events if n.startswith('%while')]
+    assert whiles, 'no while (solver scan) found'
+    _, w_start, w_dur = max(whiles, key=lambda t: t[2])
+    w_end = w_start + w_dur
+    budget = collections.Counter()
+    for name, off, dur in events:
+        if name.startswith('%while'):
+            continue
+        if off + dur <= w_start:
+            budget['encode_prep'] += dur
+        elif off >= w_end:
+            budget['decode_post'] += dur
+        else:
+            budget['denoise'] += dur
+    budget['denoise_scan_span'] = w_dur
+    return {k: round(v / 1e9, 3) for k, v in budget.items()}  # seconds
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--frames', type=int, default=8)
+    ap.add_argument('--profile', default=None,
+                    help='trace dir: also print the per-stage budget')
     args = ap.parse_args()
 
     import jax
@@ -64,6 +124,14 @@ def main():
     warm = sorted(times)[1]
     print(f'[t] warm: {warm:.2f} s = {args.frames / warm:.3f} output fps/chip'
           f' ({out.shape})', flush=True)
+
+    if args.profile:
+        from star_tpu.utils.profiling import trace
+        print('[t] trace', flush=True)
+        with trace(args.profile):
+            pipe.enhance_a_video(frames, 'capstone', seed=666)
+        print('[t] stage budget (device s):', stage_budget(args.profile),
+              flush=True)
 
 
 if __name__ == '__main__':
