@@ -5,6 +5,10 @@ Behavioral reference: utils_data/opensora/datasets/high_order/degrade_video.py
 (Degradation:79-497) and its kernel/noise/jpeg helpers — USM sharpen ->
 [blur -> random resize -> gaussian|poisson noise -> DiffJPEG -> codec] x2 ->
 final sinc, with the exact probability/parameter ranges of the reference.
+The sibling reference recipes are covered too: degrade_video_mid.py is
+recipe='mid' (stage-1 resize toward the final LR size);
+RealESRGAN_Deg_pipeline.py is the same two-stage image recipe WITHOUT the
+codec stage == degrade_video(use_codec=False).
 
 TPU-first split:
   * per-clip RANDOM PARAMETER SAMPLING runs on host numpy (cheap, matches the

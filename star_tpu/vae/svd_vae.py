@@ -52,11 +52,11 @@ class ResnetBlock2D(nn.Module):
     def __call__(self, x):
         c = x.shape[-1]
         h = GroupNorm(name='norm1')(x)
-        h = jax.nn.silu(h.astype(jnp.float32)).astype(self.dtype)
+        h = jax.nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     name='conv1')(h)
         h = GroupNorm(name='norm2')(h)
-        h = jax.nn.silu(h.astype(jnp.float32)).astype(self.dtype)
+        h = jax.nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     name='conv2')(h)
         if c != self.out_channels:
@@ -78,11 +78,11 @@ class TemporalResnetBlock(nn.Module):
         # conv accumulators at every spatial<->temporal boundary)
         b, f, hh, ww, c = x.shape
         h = GroupNorm(name='norm1')(x)
-        h = jax.nn.silu(h.astype(jnp.float32)).astype(self.dtype)
+        h = jax.nn.silu(h)
         h = TemporalConv3(self.out_channels, dtype=self.dtype,
                           name='conv1')(h)
         h = GroupNorm(name='norm2')(h)
-        h = jax.nn.silu(h.astype(jnp.float32)).astype(self.dtype)
+        h = jax.nn.silu(h)
         h = TemporalConv3(self.out_channels, dtype=self.dtype,
                           name='conv2')(h)
         if c != self.out_channels:
@@ -114,8 +114,11 @@ class SpatioTemporalResBlock(nn.Module):
         mix = self.param('mix_factor', nn.initializers.constant(0.5), (1,),
                          jnp.float32)
         alpha = jax.nn.sigmoid(mix)[0]  # weight on the temporal branch
-        return ((1.0 - alpha) * h_sp.astype(jnp.float32)
-                + alpha * h_tm.astype(jnp.float32)).astype(self.dtype)
+        # scalar blend in the compute dtype: fp32 upcasts of both branches
+        # materialized pixel-scale temps in the decoder (same class of
+        # waste as the fp32 GN apply; drift gated by test_bf16_gate)
+        one_m = (1.0 - alpha).astype(h_sp.dtype)
+        return one_m * h_sp + alpha.astype(h_tm.dtype) * h_tm
 
 
 class VaeAttention(nn.Module):
@@ -164,7 +167,7 @@ class Encoder(nn.Module):
         h = VaeAttention(chs[-1], dtype=self.dtype, name='mid_attn')(h)
         h = ResnetBlock2D(chs[-1], dtype=self.dtype, name='mid_res_2')(h)
         h = GroupNorm(name='conv_norm_out')(h)
-        h = jax.nn.silu(h.astype(jnp.float32)).astype(self.dtype)
+        h = jax.nn.silu(h)
         h = nn.Conv(2 * self.latent_channels, (3, 3), padding=1,
                     dtype=self.dtype, name='conv_out')(h)
         # quant_conv of AutoencoderKLTemporalDecoder (1x1, 8->8)
@@ -208,7 +211,7 @@ class TemporalDecoder(nn.Module):
 
         b2, f2, h2, w2, c2 = x.shape
         x = GroupNorm(name='conv_norm_out')(x)
-        x = jax.nn.silu(x.astype(jnp.float32)).astype(self.dtype)
+        x = jax.nn.silu(x)
         x = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     name='conv_out')(x.reshape(b2 * f2, h2, w2, c2))
         x = x.reshape(b2, f2, h2 * w2, self.out_channels)
@@ -227,13 +230,15 @@ class SVDTemporalVAE(nn.Module):
     """
     dtype: jnp.dtype = jnp.float32
     decode_window: int = 3  # reference decodes 3-frame windows (:127)
-    decode_batch: int = 3   # windows decoded together per lax.map step:
+    decode_batch: int = 1   # windows decoded together per lax.map step:
     #                         windows are independent (zero temporal pad at
     #                         window edges). Measured at 720p/9f on v5e:
     #                         gb=1 5.6 fps, gb=2 5.59, gb=3 6.25 (one
-    #                         9-frame decoder call, no map); a FULLY
-    #                         batched 32f decode OOMs. Clamped to the
-    #                         window count.
+    #                         9-frame decoder call, no map) — batching is
+    #                         NOT the decode lever, and grouped windows
+    #                         raised the full-pipeline capstone's peak HBM
+    #                         past 15.75G. Default stays serial; bench/
+    #                         standalone decode can opt into 3.
 
     def setup(self):
         self.encoder = Encoder(dtype=self.dtype, name='encoder')

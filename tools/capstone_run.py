@@ -68,7 +68,7 @@ def stage_budget(trace_dir: str):
         else:
             budget['denoise'] += dur
     budget['denoise_scan_span'] = w_dur
-    return {k: round(v / 1e9, 3) for k, v in budget.items()}  # seconds
+    return {k: round(v / 1e12, 3) for k, v in budget.items()}  # ps -> seconds
 
 
 def main():
