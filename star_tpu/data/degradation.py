@@ -538,3 +538,67 @@ def degrade_video(gt01: np.ndarray, scale: int = 4, seed: int = 0,
         y = jnp.asarray(codec_roundtrip(np.asarray(y), seed * 2 + 2))
     lq = jnp.clip(jnp.round(y * 255.0), 0, 255) / 255.0
     return np.asarray(lq), np.asarray(gt_usm)
+
+
+# --------------------------------------------------------------------------
+# RealESRGAN image-pair extras (RealESRGAN_Deg_pipeline.py:320-407)
+# --------------------------------------------------------------------------
+
+def augment_paired(rng: np.random.RandomState, *imgs: np.ndarray,
+                   hflip: bool = True,
+                   rotation: bool = True) -> Tuple[np.ndarray, ...]:
+    """Random hflip / vflip / rot90, the SAME draw applied to every input
+    ([..., H, W, C] numpy). Mirrors Degradation.augment
+    (RealESRGAN_Deg_pipeline.py:320-340) with an explicit RNG."""
+    do_h = hflip and rng.random_sample() < 0.5
+    do_v = rotation and rng.random_sample() < 0.5
+    do_r = rotation and rng.random_sample() < 0.5
+
+    def _one(img):
+        if do_h:
+            img = img[..., :, ::-1, :]
+        if do_v:
+            img = img[..., ::-1, :, :]
+        if do_r:
+            img = np.swapaxes(img, -3, -2)
+        return np.ascontiguousarray(img)
+
+    return tuple(_one(i) for i in imgs)
+
+
+def paired_random_crop(rng: np.random.RandomState, gt: np.ndarray,
+                       lq: np.ndarray, gt_patch_size: int,
+                       scale: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Aligned random crop: lq gets gt_patch_size//scale, gt the scaled-up
+    window at the same location ([..., H, W, C] numpy). Mirrors
+    Degradation.paired_random_crop (RealESRGAN_Deg_pipeline.py:342-407)."""
+    h_lq, w_lq = lq.shape[-3:-1]
+    h_gt, w_gt = gt.shape[-3:-1]
+    lq_patch = gt_patch_size // scale
+    if h_gt != h_lq * scale or w_gt != w_lq * scale:
+        raise ValueError(f'scale mismatch: gt {h_gt}x{w_gt} is not {scale}x '
+                         f'lq {h_lq}x{w_lq}')
+    if h_lq < lq_patch or w_lq < lq_patch:
+        raise ValueError(f'lq {h_lq}x{w_lq} smaller than patch {lq_patch}')
+    top = rng.randint(0, h_lq - lq_patch + 1)
+    left = rng.randint(0, w_lq - lq_patch + 1)
+    lq_c = lq[..., top:top + lq_patch, left:left + lq_patch, :]
+    gt_c = gt[..., top * scale:top * scale + gt_patch_size,
+              left * scale:left * scale + gt_patch_size, :]
+    return np.ascontiguousarray(gt_c), np.ascontiguousarray(lq_c)
+
+
+def realesrgan_image_pair(gt01_img: np.ndarray, scale: int = 4,
+                          gt_size: int = 256, seed: int = 0
+                          ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Single-image training pair per RealESRGAN_Deg_pipeline.Degradation:
+    augment -> two-stage degradation (no codec stage) -> clamp/round ->
+    paired random crop. gt01_img [H, W, 3] in [0,1] ->
+    (gt_crop, gt_usm_crop, lq_crop)."""
+    rng = np.random.RandomState(seed)
+    (img,) = augment_paired(rng, gt01_img)
+    lq, gt_usm = degrade_video(img[None], scale=scale, seed=seed,
+                               use_codec=False)
+    gt_c, lq_c = paired_random_crop(rng, np.stack([img, gt_usm[0]]), lq,
+                                    gt_size, scale)
+    return gt_c[0], gt_c[1], lq_c[0]

@@ -141,3 +141,67 @@ def test_mid_recipe_targets_final_size_in_stage1():
     assert lq_mid.shape == lq_def.shape == (2, 16, 16, 3)
     assert np.isfinite(lq_mid).all()
     assert not np.allclose(lq_mid, lq_def)
+
+
+def test_paired_random_crop_alignment():
+    """LQ/GT crops land at the same scaled location
+    (RealESRGAN_Deg_pipeline.py:342-407)."""
+    import numpy as np
+    from star_tpu.data.degradation import paired_random_crop
+
+    scale, gt_patch = 4, 32
+    gt = np.random.RandomState(0).uniform(0, 1, (64, 96, 3)).astype(np.float32)
+    # lq that is literally the strided gt: alignment is then checkable
+    lq = gt[::scale, ::scale]
+    rng = np.random.RandomState(1)
+    gt_c, lq_c = paired_random_crop(rng, gt, lq, gt_patch, scale)
+    assert gt_c.shape == (gt_patch, gt_patch, 3)
+    assert lq_c.shape == (gt_patch // scale, gt_patch // scale, 3)
+    np.testing.assert_allclose(gt_c[::scale, ::scale], lq_c)
+    # scale mismatch is rejected
+    try:
+        paired_random_crop(rng, gt, lq[:-1], gt_patch, scale)
+    except ValueError:
+        pass
+    else:
+        raise AssertionError('expected ValueError on scale mismatch')
+
+
+def test_augment_paired_consistent_draw():
+    import numpy as np
+    from star_tpu.data.degradation import augment_paired
+
+    a = np.arange(2 * 4 * 6 * 3, dtype=np.float32).reshape(2, 4, 6, 3)
+    b = a * 2
+    # same RNG draw applies identically to every input
+    a2, b2 = augment_paired(np.random.RandomState(7), a, b)
+    np.testing.assert_allclose(a2 * 2, b2)
+    # some seed flips horizontally
+    flipped = False
+    for seed in range(8):
+        a3, = augment_paired(np.random.RandomState(seed), a, rotation=False)
+        if not np.array_equal(a3, a):
+            flipped = True
+            np.testing.assert_allclose(a3, a[:, :, ::-1])
+    assert flipped
+
+
+def test_realesrgan_image_pair_contract():
+    """Image recipe (RealESRGAN_Deg_pipeline.forward): augment -> 2-stage
+    degradation (no codec) -> paired crop; shapes + determinism."""
+    import numpy as np
+    from star_tpu.data.degradation import realesrgan_image_pair
+
+    img = np.random.RandomState(0).uniform(0, 1, (96, 128, 3)) \
+        .astype(np.float32)
+    gt_c, gt_usm_c, lq_c = realesrgan_image_pair(img, scale=4, gt_size=64,
+                                                 seed=5)
+    assert gt_c.shape == gt_usm_c.shape == (64, 64, 3)
+    assert lq_c.shape == (16, 16, 3)
+    assert np.isfinite(lq_c).all() and 0 <= lq_c.min() and lq_c.max() <= 1
+    # USM sharpening actually changed the crop
+    assert not np.allclose(gt_c, gt_usm_c)
+    # same seed reproduces
+    gt2, _, lq2 = realesrgan_image_pair(img, scale=4, gt_size=64, seed=5)
+    np.testing.assert_allclose(gt_c, gt2)
+    np.testing.assert_allclose(lq_c, lq2)
