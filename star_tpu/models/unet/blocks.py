@@ -27,9 +27,9 @@ from flax import linen as nn
 
 from ...ops.attention import dot_product_attention
 from ...ops.norms import group_norm, layer_norm
-from ...ops.resize import upsample2x_nearest
 from ...ops.temporal_attention import temporal_attention
 from ...ops.temporal_conv import TemporalConv3
+from ...ops.upsample_conv import UpsampleConv2x
 
 
 def sinusoidal_embedding(t: jax.Array, dim: int) -> jax.Array:
@@ -387,7 +387,8 @@ class Upsample(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        x = upsample2x_nearest(x)
-        x = x[:, 1:-1, :, :]
-        return nn.Conv(self.channels, (3, 3), padding=1, dtype=self.dtype,
-                       name='conv')(x)
+        # phase-decomposed nearest-2x + crop + conv (ops/upsample_conv.py):
+        # 16 MXU taps per 4 output pixels instead of 36 and no 4x nearest
+        # intermediate; params match the nn.Conv spelling
+        return UpsampleConv2x(self.channels, dtype=self.dtype, crop_h=True,
+                              name='conv')(x)

@@ -567,18 +567,32 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     b, sq, h, d = q.shape
     skv = k.shape[1]
     scale = (1.0 / math.sqrt(d)) if scale is None else scale
-    rup = lambda x, m: -(-x // m) * m
-    bq_eff = min(bq, rup(sq, 16))        # sublane-aligned block sizes
-    bk_eff = min(bk, rup(skv, 128))
-    # prefer an exact divisor near the target: no pad copies of q/k/v, no
-    # in-kernel mask pass (e.g. S=14400 -> 960 instead of 1024+pad-to-15360)
-    bq_eff = _pick_block(sq, bq_eff)
-    bk_eff = _pick_block(skv, bk_eff)
+    bq_eff, bk_eff = _eff_blocks(sq, skv, d, bq, bk)
     # fold heads into the grid batch dim
     to3 = lambda t: t.transpose(0, 2, 1, 3).reshape(b * h, t.shape[1], d)
     out3 = _flash_fwd(to3(q), to3(k), to3(v), scale, bq_eff, bk_eff,
                       interpret, fixed_ref)
     return out3.reshape(b, h, sq, d).transpose(0, 2, 1, 3)
+
+
+def _eff_blocks(sq: int, skv: int, d: int, bq: int, bk: int):
+    """Sublane/lane-aligned near-divisor block sizes for [*, sq|skv, d]."""
+    if d > 64:
+        # the swept defaults assume d=64 blocks; cap them so the VMEM
+        # footprint (double-buffered q/k/v blocks, [d+1,bq] accumulator,
+        # [bk,bq] logits) stays ~8MB — the SVD-VAE mid attention runs
+        # single-head d=512 at seq 14400 through here (bq=bk=480, the best
+        # of the on-chip sweep: 51.8 ms / 73.8 TF/s at [9,14400,512]).
+        # Scaling blocks down PROPORTIONALLY to d was measured ~8x slower:
+        # [320,512]@[512,96] starves the MXU
+        bq = max(128, min(bq, 245760 // d // 16 * 16))
+        bk = max(256, min(bk, 245760 // d // 128 * 128))
+    rup = lambda x, m: -(-x // m) * m
+    bq_eff = min(bq, rup(sq, 16))        # sublane-aligned block sizes
+    bk_eff = min(bk, rup(skv, 128))
+    # prefer an exact divisor near the target: no pad copies of q/k/v, no
+    # in-kernel mask pass (e.g. S=14400 -> 960 instead of 1024+pad-to-15360)
+    return _pick_block(sq, bq_eff), _pick_block(skv, bk_eff)
 
 
 def _to3(t):
@@ -598,11 +612,7 @@ def _fwd(q, k, v, scale, bq, bk, interpret, fixed_ref=True):
     b, sq, h, d = q.shape
     skv = k.shape[1]
     s = (1.0 / math.sqrt(d)) if scale is None else scale
-    rup = lambda x, m: -(-x // m) * m
-    bq_eff = min(bq, rup(sq, 16))
-    bk_eff = min(bk, rup(skv, 128))
-    bq_eff = _pick_block(sq, bq_eff)
-    bk_eff = _pick_block(skv, bk_eff)
+    bq_eff, bk_eff = _eff_blocks(sq, skv, d, bq, bk)
     out3, l3 = _flash_fwd(_to3(q), _to3(k), _to3(v), s, bq_eff, bk_eff,
                           interpret, fixed_ref, with_l=True)
     return _from3(out3, b, h), (q, k, v, _from3(out3, b, h), l3)

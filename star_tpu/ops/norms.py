@@ -33,6 +33,12 @@ def group_norm(x: jax.Array, scale: jax.Array, bias: jax.Array,
     # layout. Reshaping the bulk to [..., G, C//G] (C//G = 10 lanes of 128)
     # made XLA materialize fp32 layout-change copies of the whole activation
     # in the temporal stream — ~60 ms/step in the r2b trace.
+    # (An optimization_barrier on the stats input — to stop XLA output-fusing
+    # the fp32 square into the producing conv — was A/B'd in r3: decode
+    # +112 ms, encode +36 ms AFTER the bf16-apply rework. The conv-fused
+    # stats are the fast path; a dedicated Pallas stats kernel was also
+    # measured worse — its mandatory standard input layout degraded every
+    # decoder conv to T(4,128)/T(2,128) tilings.)
     xg = x.reshape(orig_shape[0], -1, num_groups, c // num_groups)
     mean = jnp.mean(xg, axis=(1, 3), keepdims=True, dtype=jnp.float32)
     mean2 = jnp.mean(jax.lax.square(xg.astype(jnp.float32)), axis=(1, 3),
