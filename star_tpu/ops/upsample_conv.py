@@ -30,10 +30,19 @@ _M = (
 )
 
 
-def upsample_conv2x(x: jax.Array, kernel: jax.Array,
-                    bias: jax.Array) -> jax.Array:
+def upsample_conv2x(x: jax.Array, kernel: jax.Array, bias: jax.Array,
+                    want_stats: bool = False):
     """x [N, H, W, Cin], kernel [3, 3, Cin, Cout] (fp32 param), bias [Cout]
-    -> [N, 2H, 2W, Cout] in x.dtype; == conv3x3(nearest_2x(x), SAME)."""
+    -> [N, 2H, 2W, Cout] in x.dtype; == conv3x3(nearest_2x(x), SAME).
+
+    The four phase outputs recombine through the one-pass Pallas interleave
+    (ops/conv3x3.interleave2x2) — XLA's stack+reshape spelling spent ~4
+    extra full passes on pad/maximum fusions + a T(8,128)->T(2,128) layout
+    copy at the 720p decode scale (r3 trace). With want_stats, also returns
+    the per-(n, channel) fp32 (sum, sumsq) of the output, combined from
+    per-phase reductions that XLA fuses into the phase convs.
+    """
+    from .conv3x3 import channel_stats, interleave2x2
     n, h, w, cin = x.shape
     cout = kernel.shape[-1]
     k32 = kernel.astype(jnp.float32)
@@ -42,7 +51,6 @@ def upsample_conv2x(x: jax.Array, kernel: jax.Array,
     b32 = bias.astype(jnp.float32)
     phases = []
     for r in (0, 1):
-        row = []
         for s in (0, 1):
             k_rs = jnp.einsum('ap,bq,abio->pqio', ms[r], ms[s],
                               k32).astype(x.dtype)
@@ -52,10 +60,13 @@ def upsample_conv2x(x: jax.Array, kernel: jax.Array,
                 preferred_element_type=jnp.float32)
             # bias-add + downcast BEFORE the interleave: a fp32 stack of all
             # four phases is a pixel-scale 14 GB temp at 720p decode
-            row.append((z + b32).astype(x.dtype))
-        phases.append(jnp.stack(row, axis=3))           # [N, H, W, 2, Cout]
-    t = jnp.stack(phases, axis=2)                       # [N, H, 2, W, 2, Cout]
-    return t.reshape(n, 2 * h, 2 * w, cout)
+            phases.append((z + b32).astype(x.dtype))
+    out = interleave2x2(*phases)
+    if not want_stats:
+        return out
+    parts = [channel_stats(p) for p in phases]
+    stats = (sum(p[0] for p in parts), sum(p[1] for p in parts))
+    return out, stats
 
 
 def upsample_conv2x_cropped(x: jax.Array, kernel: jax.Array,
@@ -124,11 +135,14 @@ class UpsampleConv2x(nn.Module):
     crop_h: bool = False
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, want_stats: bool = False):
         cin = x.shape[-1]
         kernel = self.param('kernel', nn.initializers.lecun_normal(),
                             (3, 3, cin, self.features), jnp.float32)
         bias = self.param('bias', nn.initializers.zeros, (self.features,),
                           jnp.float32)
-        fn = upsample_conv2x_cropped if self.crop_h else upsample_conv2x
-        return fn(x.astype(self.dtype), kernel, bias)
+        if self.crop_h:
+            assert not want_stats
+            return upsample_conv2x_cropped(x.astype(self.dtype), kernel, bias)
+        return upsample_conv2x(x.astype(self.dtype), kernel, bias,
+                               want_stats=want_stats)

@@ -14,6 +14,15 @@ semantics). decode() consumes [B, F, h, w, 4] latents; the reference decodes
 independent 3-frame windows (video_to_video_model.py:144-151), which we
 reproduce by folding the windows into the batch dim — one device call, no
 host loop.
+
+Compute path (r3): the spatial ResNet blocks run through the fused
+GN+SiLU+conv3x3 Pallas kernel (ops/conv3x3.py) with GroupNorm statistics
+THREADED between blocks — each fused conv emits the (sum, sumsq) of its
+output, so the next GN never re-reads the activation. Chain breaks (attention,
+upsample, temporal blend) fall back to jnp reductions that XLA fuses into the
+producing op, which is the shape the r2/r3 traces showed for the old path.
+The param tree is unchanged (norm*/conv* module names), so converters,
+checkpoints and goldens are untouched.
 """
 
 from __future__ import annotations
@@ -25,11 +34,14 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.attention import dot_product_attention
+from ..ops.conv3x3 import channel_stats, fused_gn_silu_conv3x3, gn_coeffs
 from ..ops.norms import group_norm
 from ..ops.temporal_conv import TemporalConv3
 from ..ops.upsample_conv import UpsampleConv2x
 
 SVD_VAE_SCALING = 0.18215
+
+Stats = tuple[jax.Array, jax.Array]
 
 
 class GroupNorm(nn.Module):
@@ -48,26 +60,83 @@ class GroupNorm(nn.Module):
         return group_norm(x, scale, bias, self.num_groups, self.eps)
 
 
+class _GNParams(nn.Module):
+    """Parameter holder with GroupNorm's tree ('scale'/'bias') for the fused
+    conv path, where the apply happens inside the kernel."""
+    channels: int
+
+    @nn.compact
+    def __call__(self):
+        s = self.param('scale', nn.initializers.ones, (self.channels,),
+                       jnp.float32)
+        b = self.param('bias', nn.initializers.zeros, (self.channels,),
+                       jnp.float32)
+        return s, b
+
+
+class _ConvParams(nn.Module):
+    """Parameter holder with nn.Conv((3,3))'s tree ('kernel'/'bias')."""
+    in_channels: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param('kernel', nn.initializers.lecun_normal(),
+                       (3, 3, self.in_channels, self.features), jnp.float32)
+        b = self.param('bias', nn.initializers.zeros, (self.features,),
+                       jnp.float32)
+        return k, b
+
+
+def _gn_apply_5d(x, scale, bias, stats: Stats | None, num_groups=32,
+                 eps=1e-6):
+    """GroupNorm apply on [B, F, H, W, C] with per-B statistics pooled over
+    (F, H, W, C/G) — torch GroupNorm semantics on the video tensor. `stats`
+    may be per-frame [B*F, C] sums from the fused conv kernel; they pool
+    linearly. bf16 apply, fp32 coefficients (the fp32-statistics island)."""
+    b, f, hh, ww, c = x.shape
+    if stats is None:
+        s, s2 = channel_stats(x.reshape(b, -1, c))
+    else:
+        s, s2 = stats
+        s = s.reshape(b, f, c).sum(1)
+        s2 = s2.reshape(b, f, c).sum(1)
+    count = f * hh * ww * (c // num_groups)
+    av, bv = gn_coeffs((s, s2), count, scale, bias, num_groups, eps)
+    brd = (b, 1, 1, 1, c)
+    return (x * av.astype(x.dtype).reshape(brd)
+            + bv.astype(x.dtype).reshape(brd))
+
+
 class ResnetBlock2D(nn.Module):
-    """SD VAE residual block (no time embedding)."""
+    """SD VAE residual block (no time embedding): GN -> SiLU -> conv, twice,
+    with skip. Runs through the fused Pallas conv kernel on TPU; `stats`
+    carries the input's GN statistics from the producing op, and the
+    returned stats describe this block's output."""
     out_channels: int
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, stats: Stats | None = None,
+                 want_stats: bool = False):
         c = x.shape[-1]
-        h = GroupNorm(name='norm1')(x)
-        h = jax.nn.silu(h)
-        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
-                    name='conv1')(h)
-        h = GroupNorm(name='norm2')(h)
-        h = jax.nn.silu(h)
-        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
-                    name='conv2')(h)
+        s1, b1 = _GNParams(c, name='norm1')()
+        s2, b2 = _GNParams(self.out_channels, name='norm2')()
+        k1, kb1 = _ConvParams(c, self.out_channels, name='conv1')()
+        k2, kb2 = _ConvParams(self.out_channels, self.out_channels,
+                              name='conv2')()
+        x = x.astype(self.dtype)
         if c != self.out_channels:
-            x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
-                        name='conv_shortcut')(x)
-        return x + h
+            short = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
+                            name='conv_shortcut')(x)
+        else:
+            short = x
+        h, st1 = fused_gn_silu_conv3x3(x, s1, b1, k1, kb1, stats=stats,
+                                       want_stats=True)
+        out, st2 = fused_gn_silu_conv3x3(h, s2, b2, k2, kb2, stats=st1,
+                                         residual=short,
+                                         want_stats=want_stats)
+        return out, st2
 
 
 class TemporalResnetBlock(nn.Module):
@@ -76,17 +145,19 @@ class TemporalResnetBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, stats: Stats | None = None):
         # stays 5-D [B, F, H, W, C] end to end: the temporal (3,1,1) convs
         # run in the same NHWC-style layout as the surrounding spatial
         # blocks (a flat [B,F,HW,C] stream made XLA relayout the fp32
         # conv accumulators at every spatial<->temporal boundary)
         b, f, hh, ww, c = x.shape
-        h = GroupNorm(name='norm1')(x)
+        s1, b1 = _GNParams(c, name='norm1')()
+        s2, b2 = _GNParams(self.out_channels, name='norm2')()
+        h = _gn_apply_5d(x, s1, b1, stats)
         h = jax.nn.silu(h)
         h = TemporalConv3(self.out_channels, dtype=self.dtype,
                           name='conv1')(h)
-        h = GroupNorm(name='norm2')(h)
+        h = _gn_apply_5d(h, s2, b2, None)
         h = jax.nn.silu(h)
         h = TemporalConv3(self.out_channels, dtype=self.dtype,
                           name='conv2')(h)
@@ -107,15 +178,18 @@ class SpatioTemporalResBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, stats: Stats | None = None,
+                 want_stats: bool = False):
         # x: [B, F, H, W, C]
         b, f, hh, ww, c = x.shape
-        h2d = ResnetBlock2D(self.out_channels, dtype=self.dtype,
-                            name='spatial_res_block')(
-                                x.reshape(b * f, hh, ww, c))
+        h2d, st_sp = ResnetBlock2D(self.out_channels, dtype=self.dtype,
+                                   name='spatial_res_block')(
+                                       x.reshape(b * f, hh, ww, c),
+                                       stats=stats, want_stats=True)
         h_sp = h2d.reshape(b, f, hh, ww, self.out_channels)
         h_tm = TemporalResnetBlock(self.out_channels, dtype=self.dtype,
-                                   name='temporal_res_block')(h_sp)
+                                   name='temporal_res_block')(h_sp,
+                                                              stats=st_sp)
         mix = self.param('mix_factor', nn.initializers.constant(0.5), (1,),
                          jnp.float32)
         alpha = jax.nn.sigmoid(mix)[0]  # weight on the temporal branch
@@ -123,7 +197,10 @@ class SpatioTemporalResBlock(nn.Module):
         # materialized pixel-scale temps in the decoder (same class of
         # waste as the fp32 GN apply; drift gated by test_bf16_gate)
         one_m = (1.0 - alpha).astype(h_sp.dtype)
-        return one_m * h_sp + alpha.astype(h_tm.dtype) * h_tm
+        out = one_m * h_sp + alpha.astype(h_tm.dtype) * h_tm
+        st = (channel_stats(out.reshape(b * f, hh * ww, -1))
+              if want_stats else None)
+        return out, st
 
 
 class VaeAttention(nn.Module):
@@ -160,22 +237,31 @@ class Encoder(nn.Module):
         chs = self.block_out_channels
         h = nn.Conv(chs[0], (3, 3), padding=1, dtype=self.dtype,
                     name='conv_in')(x.astype(self.dtype))
+        stats = None
         for i, ch in enumerate(chs):
             for j in range(self.layers_per_block):
-                h = ResnetBlock2D(ch, dtype=self.dtype,
-                                  name=f'down_{i}_res_{j}')(h)
+                h, stats = ResnetBlock2D(ch, dtype=self.dtype,
+                                         name=f'down_{i}_res_{j}')(
+                                             h, stats=stats, want_stats=True)
             if i != len(chs) - 1:
                 # SD VAE downsample: pad (0,1) right/bottom, stride-2 conv
                 h = jnp.pad(h, ((0, 0), (0, 1), (0, 1), (0, 0)))
                 h = nn.Conv(ch, (3, 3), strides=2, padding=0,
                             dtype=self.dtype, name=f'down_{i}_downsample')(h)
-        h = ResnetBlock2D(chs[-1], dtype=self.dtype, name='mid_res_1')(h)
+                stats = None
+        h, _ = ResnetBlock2D(chs[-1], dtype=self.dtype,
+                             name='mid_res_1')(h, stats=stats)
         h = VaeAttention(chs[-1], dtype=self.dtype, name='mid_attn')(h)
-        h = ResnetBlock2D(chs[-1], dtype=self.dtype, name='mid_res_2')(h)
-        h = GroupNorm(name='conv_norm_out')(h)
-        h = jax.nn.silu(h)
-        h = nn.Conv(2 * self.latent_channels, (3, 3), padding=1,
-                    dtype=self.dtype, name='conv_out')(h)
+        h, stats = ResnetBlock2D(chs[-1], dtype=self.dtype,
+                                 name='mid_res_2')(h, want_stats=True)
+        sn, bn = _GNParams(chs[-1], name='conv_norm_out')()
+        # cout=8 -> XLA fallback path inside the fused op, but the GN apply
+        # still folds from the threaded stats instead of re-reading h
+        h, _ = fused_gn_silu_conv3x3(
+            h, sn, bn,
+            *_ConvParams(chs[-1], 2 * self.latent_channels,
+                         name='conv_out')(),
+            stats=stats)
         # quant_conv of AutoencoderKLTemporalDecoder (1x1, 8->8)
         return nn.Conv(2 * self.latent_channels, (1, 1), dtype=self.dtype,
                        name='quant_conv')(h)
@@ -197,30 +283,38 @@ class TemporalDecoder(nn.Module):
         x = x.reshape(b, f, hh, ww, chs[0])
 
         # mid: res, attn (per frame), res  (MidBlockTemporalDecoder)
-        x = SpatioTemporalResBlock(chs[0], dtype=self.dtype, name='mid_res_0')(x)
+        x, _ = SpatioTemporalResBlock(chs[0], dtype=self.dtype,
+                                      name='mid_res_0')(x)
         bq, fq, hq, wq, cq = x.shape
         x2 = VaeAttention(cq, dtype=self.dtype, name='mid_attn')(
             x.reshape(bq * fq, hq, wq, cq))
         x = x2.reshape(bq, fq, hq, wq, cq)
-        x = SpatioTemporalResBlock(chs[0], dtype=self.dtype, name='mid_res_1')(x)
+        x, stats = SpatioTemporalResBlock(chs[0], dtype=self.dtype,
+                                          name='mid_res_1')(x,
+                                                            want_stats=True)
 
         for i, ch in enumerate(chs):
             for j in range(self.layers_per_block + 1):
-                x = SpatioTemporalResBlock(ch, dtype=self.dtype,
-                                           name=f'up_{i}_res_{j}')(x)
+                x, stats = SpatioTemporalResBlock(
+                    ch, dtype=self.dtype, name=f'up_{i}_res_{j}')(
+                        x, stats=stats, want_stats=True)
             if i != len(chs) - 1:
                 bq, fq, hq, wq, cq = x.shape
                 # phase-decomposed nearest-2x + 3x3 conv: 16 taps per 4
-                # output pixels instead of 36 and no 4x-sized nearest
-                # intermediate (ops/upsample_conv.py); params match the
-                # nn.Conv spelling so converters are unchanged
-                x2 = UpsampleConv2x(cq, dtype=self.dtype,
-                                    name=f'up_{i}_upsample')(
-                                        x.reshape(bq * fq, hq, wq, cq))
+                # output pixels instead of 36, no 4x-sized nearest
+                # intermediate, one-pass Pallas phase interleave
+                # (ops/upsample_conv.py); params match the nn.Conv spelling
+                # so converters are unchanged. Stats of the output come from
+                # per-phase reductions fused into the phase convs.
+                x2, stats = UpsampleConv2x(cq, dtype=self.dtype,
+                                           name=f'up_{i}_upsample')(
+                                               x.reshape(bq * fq, hq, wq, cq),
+                                               want_stats=True)
                 x = x2.reshape(bq, fq, hq * 2, wq * 2, cq)
 
         b2, f2, h2, w2, c2 = x.shape
-        x = GroupNorm(name='conv_norm_out')(x)
+        sn, bn = _GNParams(c2, name='conv_norm_out')()
+        x = _gn_apply_5d(x, sn, bn, stats)
         x = jax.nn.silu(x)
         x = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     name='conv_out')(x.reshape(b2 * f2, h2, w2, c2))
