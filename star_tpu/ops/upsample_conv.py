@@ -39,34 +39,40 @@ def upsample_conv2x(x: jax.Array, kernel: jax.Array, bias: jax.Array,
     (ops/conv3x3.interleave2x2) — XLA's stack+reshape spelling spent ~4
     extra full passes on pad/maximum fusions + a T(8,128)->T(2,128) layout
     copy at the 720p decode scale (r3 trace). With want_stats, also returns
-    the per-(n, channel) fp32 (sum, sumsq) of the output, combined from
-    per-phase reductions that XLA fuses into the phase convs.
+    the per-(n, channel) fp32 (sum, sumsq) of the output, reduced inside the
+    interleave kernel (per-phase jnp reductions blocked the phase convs'
+    fp32->bf16 output fusion and OOM'd the 720p decode graph).
     """
-    from .conv3x3 import channel_stats, interleave2x2
+    from .attention import _on_tpu
+    from .conv3x3 import (_DISABLE, _pick_hb_upsample, interleave2x2,
+                          upsample_conv2x_fused)
     n, h, w, cin = x.shape
     cout = kernel.shape[-1]
     k32 = kernel.astype(jnp.float32)
     ms = [jnp.asarray(m, jnp.float32) for m in _M]
+    k_rs = jnp.stack([jnp.einsum('ap,bq,abio->pqio', ms[r], ms[s], k32)
+                      for r in (0, 1) for s in (0, 1)])  # [4, 2, 2, C, Cout]
+
+    if (not _DISABLE and _on_tpu() and cin % 128 == 0 and cout % 128 == 0
+            and w % 8 == 0 and _pick_hb_upsample(h, w, cin, cout)):
+        out, stats = upsample_conv2x_fused(x, k_rs, bias,
+                                           want_stats=want_stats)
+        return (out, stats) if want_stats else out
+
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
     b32 = bias.astype(jnp.float32)
     phases = []
     for r in (0, 1):
         for s in (0, 1):
-            k_rs = jnp.einsum('ap,bq,abio->pqio', ms[r], ms[s],
-                              k32).astype(x.dtype)
             z = jax.lax.conv_general_dilated(
-                xp[:, r:r + h + 1, s:s + w + 1], k_rs, (1, 1), 'VALID',
+                xp[:, r:r + h + 1, s:s + w + 1],
+                k_rs[2 * r + s].astype(x.dtype), (1, 1), 'VALID',
                 dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
                 preferred_element_type=jnp.float32)
             # bias-add + downcast BEFORE the interleave: a fp32 stack of all
             # four phases is a pixel-scale 14 GB temp at 720p decode
             phases.append((z + b32).astype(x.dtype))
-    out = interleave2x2(*phases)
-    if not want_stats:
-        return out
-    parts = [channel_stats(p) for p in phases]
-    stats = (sum(p[0] for p in parts), sum(p[1] for p in parts))
-    return out, stats
+    return interleave2x2(*phases, want_stats=want_stats)
 
 
 def upsample_conv2x_cropped(x: jax.Array, kernel: jax.Array,

@@ -90,3 +90,73 @@ def test_vae_block_param_tree_unchanged():
     out, stats = blk.apply(v, jnp.ones((1, 8, 8, 64)), want_stats=True)
     assert out.shape == (1, 8, 8, 128)
     assert stats[0].shape == (1, 128)
+
+
+def test_upsample_conv2x_fused():
+    """One-kernel phase upsample == nearest-2x + 3x3 SAME conv."""
+    from star_tpu.ops.conv3x3 import upsample_conv2x_fused
+    from star_tpu.ops.upsample_conv import _M
+    n, h, w, c = 2, 12, 16, 128
+    x = jax.random.normal(jax.random.PRNGKey(0), (n, h, w, c), jnp.float32)
+    k = jax.random.normal(jax.random.PRNGKey(1), (3, 3, c, c),
+                          jnp.float32) * 0.05
+    b = jax.random.normal(jax.random.PRNGKey(2), (c,), jnp.float32) * 0.1
+    ms = [jnp.asarray(m, jnp.float32) for m in _M]
+    krs = jnp.stack([jnp.einsum('ap,bq,abio->pqio', ms[r], ms[s], k)
+                     for r in (0, 1) for s in (0, 1)])
+    got, stats = upsample_conv2x_fused(x, krs, b, want_stats=True,
+                                       interpret=True)
+    up = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+    ref = jax.lax.conv_general_dilated(
+        up, k, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC')) + b
+    np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-4)
+    s, s2 = channel_stats(ref)
+    np.testing.assert_allclose(stats[0], s, atol=2e-3)
+    np.testing.assert_allclose(stats[1], s2, atol=2e-3)
+
+
+@pytest.mark.parametrize('with_res', [False, True])
+def test_winograd_matches_fallback(with_res):
+    """F(2x2,3x3) kernel == the direct XLA fallback (fp32, interpret)."""
+    from star_tpu.ops.conv3x3 import _conv3x3_wino_pallas, _pick_hb_wino
+    x, k, bias, gs, gb, res = _setup(h=12, w=16)
+    n, h, w, c = x.shape
+    a, b = gn_coeffs(channel_stats(x), h * w * (c // 32), gs, gb, 32, 1e-6)
+    r = res if with_res else None
+    y_ref, st_ref = _conv3x3_xla(x, a, b, k, bias, r, True)
+    hb = _pick_hb_wino(h, w, c, k.shape[-1])
+    assert hb is not None
+    y_k, st_k = _conv3x3_wino_pallas(x, a, b, k, bias, r, True, hb, True)
+    np.testing.assert_allclose(y_k, y_ref, atol=5e-4, rtol=1e-4)
+    np.testing.assert_allclose(st_k[0], st_ref[0], atol=2e-2)
+    np.testing.assert_allclose(st_k[1], st_ref[1], atol=2e-2)
+
+
+def test_winograd_single_block():
+    """nh == 1 variant (whole image in one block) and cout != c."""
+    from star_tpu.ops.conv3x3 import _conv3x3_wino_pallas, _pick_hb_wino
+    x, k, bias, gs, gb, _ = _setup(n=1, h=4, w=8, c=128, cout=256, seed=3)
+    n, h, w, c = x.shape
+    a, b = gn_coeffs(channel_stats(x), h * w * (c // 32), gs, gb, 32, 1e-6)
+    y_ref, _ = _conv3x3_xla(x, a, b, k, bias, None, False)
+    hb = _pick_hb_wino(h, w, c, k.shape[-1])
+    y_k, _ = _conv3x3_wino_pallas(x, a, b, k, bias, None, False, hb, True)
+    np.testing.assert_allclose(y_k, y_ref, atol=5e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize('h,m_want', [(12, 4), (10, 2)])
+def test_winograd_h_matches_fallback(h, m_want):
+    """1-D H-Winograd (F(4,3)/F(2,3)) == direct XLA fallback."""
+    from star_tpu.ops.conv3x3 import _conv3x3_winoh_pallas, _pick_hb_winoh
+    x, k, bias, gs, gb, res = _setup(h=h, w=16)
+    n, _, w, c = x.shape
+    a, b = gn_coeffs(channel_stats(x), h * w * (c // 32), gs, gb, 32, 1e-6)
+    y_ref, st_ref = _conv3x3_xla(x, a, b, k, bias, res, True)
+    pick = _pick_hb_winoh(h, w, c, k.shape[-1])
+    assert pick is not None and pick[1] == m_want
+    y_k, st_k = _conv3x3_winoh_pallas(x, a, b, k, bias, res, True,
+                                      pick[0], pick[1], True)
+    np.testing.assert_allclose(y_k, y_ref, atol=2e-3, rtol=1e-3)
+    np.testing.assert_allclose(st_k[0], st_ref[0], atol=5e-2)
+    np.testing.assert_allclose(st_k[1], st_ref[1], atol=5e-2)
