@@ -19,22 +19,34 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def classify(op_name: str) -> str:
-    n = op_name.lower()
-    if 'conv' in n:
-        return 'convolution'
-    if 'dot' in n or 'gemm' in n or 'matmul' in n:
-        return 'matmul'
-    if 'custom-call' in n or 'custom_call' in n:
+    """Categorize a full HLO instruction string.
+
+    CLASSIFICATION TRAPS (both bit the r2/r3 parses): (1) substring tests on
+    the whole line match operand text — 'conv' hits 'convert_*' fusion names
+    and a '%custom-call.N' OPERAND makes an elementwise fusion look like a
+    pallas call; (2) spatial convs mostly run inside kOutput fusions whose
+    LHS is named 'convert_reduce_fusion' (conv + GN-stat epilogue), so only
+    a [3,3,Cin,Cout]/[7,7,..] kernel operand identifies them. Classify by
+    the op KIND after ' = ' and use the kernel-shape test for fused convs.
+    """
+    lhs, _, rhs = op_name.partition(' = ')
+    m = re.search(r'\)?\s*([a-z][a-z\-]+)\(', rhs)
+    kind = m.group(1) if m else rhs.split('(')[0].split()[-1] if rhs else ''
+    if kind == 'custom-call':
         return 'custom-call (pallas)'
-    if 'fusion' in n:
+    if kind == 'convolution' or (kind == 'fusion'
+                                 and re.search(r'\[[37],[37],\d+,\d+\]', rhs)):
+        return 'conv-spatial'
+    if kind == 'dot' or (kind == 'fusion'
+                         and ('convolution' in lhs or 'dot' in lhs)):
+        return 'matmul/1x1'
+    if kind == 'fusion':
         return 'fusion (elementwise/reduce)'
-    if 'copy' in n or 'transpose' in n:
+    if kind in ('copy', 'transpose', 'bitcast', 'reshape'):
         return 'copy/transpose'
-    if 'reduce' in n:
+    if kind.startswith('reduce'):
         return 'reduce'
-    if 'convert' in n:
-        return 'convert'
-    if 'all-reduce' in n or 'all-gather' in n or 'collective' in n:
+    if kind.startswith('all-') or 'collective' in kind:
         return 'collective'
     return 'other'
 
