@@ -127,16 +127,24 @@ class SpatialLIEM(nn.Module):
 
 class TemporalLIEM(nn.Module):
     """LIEM, temporal flavor: channel max/mean -> Dense(2->1) -> sigmoid gate
-    (unet_v2v.py:396-411)."""
+    (unet_v2v.py:396-411).
+
+    With return_kernel=True, returns the Dense's [2] weight vector instead of
+    gating (the eye-probe keeps the param path local*/proj/kernel identical
+    for the converter) — for callers that fuse the gate elsewhere, e.g. the
+    unrouted ops/fused_ln.py kernel."""
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array,
+                 return_kernel: bool = False) -> jax.Array:
+        dense = nn.Dense(1, use_bias=False, dtype=self.dtype, name='proj')
+        if return_kernel:
+            return dense(jnp.eye(2, dtype=self.dtype))[:, 0]
         # x: [BHW, F, C]
         mx = jnp.max(x, axis=-1, keepdims=True)
         mn = jnp.mean(x, axis=-1, keepdims=True)
-        w = jnp.concatenate([mx, mn], axis=-1)
-        w = nn.Dense(1, use_bias=False, dtype=self.dtype, name='proj')(w)
+        w = dense(jnp.concatenate([mx, mn], axis=-1))
         return jax.nn.sigmoid(w.astype(jnp.float32)).astype(x.dtype) * x
 
 
@@ -189,6 +197,10 @@ class TemporalTransformerBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         # x: [B, F, N, C]
+        # (A fused LIEM-gate+LN Pallas pass — ops/fused_ln.py — was A/B'd in
+        # r3 and LOST at the dominant C=320 scale: 167-212 GB/s in-kernel vs
+        # the XLA chain's effective ~420+, the 320-lane masked tiling being
+        # the bottleneck. Kept in-tree unrouted; see its module docstring.)
         x_local = TemporalLIEM(dtype=self.dtype, name='local1')(x)
         x = TemporalAttentionInplace(self.num_heads, self.head_dim, self.dim,
                                      dtype=self.dtype, name='attn1')(
