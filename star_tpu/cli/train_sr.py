@@ -27,6 +27,10 @@ def parse_args():
     p = ArgumentParser()
     p.add_argument('--data_root', required=True,
                    help='dir with gt/ lq/ text/ triplets')
+    p.add_argument('--image_data', action='store_true',
+                   help='data_root holds gt/ + sr_bicubic/ PNG image pairs '
+                        '(PairedCaptionImageDataset, ref dataset.py:63) — '
+                        'trains on single-frame clips')
     p.add_argument('--output_dir', required=True)
     p.add_argument('--pretrained', default=None,
                    help='converted UNet weights (orbax) to start from')
@@ -166,8 +170,12 @@ def main():
             logger.info('resumed from step %d', start_step)
 
         from ..data.prefetch import PrefetchIterator
-        ds = PairedCaptionVideoDataset(args.data_root, args.num_frames,
-                                       seed=args.seed)
+        if args.image_data:
+            from ..data.dataset import PairedCaptionImageDataset
+            ds = PairedCaptionImageDataset(args.data_root)
+        else:
+            ds = PairedCaptionVideoDataset(args.data_root, args.num_frames,
+                                           seed=args.seed)
         global_batch = args.batch_size * args.data_parallel
         # background-thread decode overlaps the device step (the reference's
         # DataLoader(num_workers) counterpart; cv2 releases the GIL)

@@ -108,6 +108,53 @@ class CogPairedCaptionDataset(PairedCaptionVideoDataset):
         return {'gt': to11(gt), 'lq': to11(lq), 'text': text, 'fps': fps}
 
 
+class PairedCaptionImageDataset:
+    """Single-image pair dataset: {root}/sr_bicubic/*.png + {root}/gt/*.png.
+
+    Mirrors video_super_resolution/dataset.py:63-111: center-crop to
+    crop_size (default 720x1280), [-1,1] normalize, empty caption, and the
+    image becomes a one-frame video — the reference unsqueezes a frame axis
+    so image pairs feed the same video trainer. Yields gt/lq [1,H,W,3]."""
+
+    def __init__(self, root: str, crop_size=(720, 1280)):
+        self.root = root
+        self.crop_size = crop_size
+        lq_dir = os.path.join(root, 'sr_bicubic')
+        self.names = sorted(
+            os.path.splitext(f)[0] for f in os.listdir(lq_dir)
+            if f.endswith('.png'))
+
+    def __len__(self):
+        return len(self.names)
+
+    def _load(self, sub: str, name: str) -> np.ndarray:
+        import cv2
+        img = cv2.imread(os.path.join(self.root, sub, name + '.png'),
+                         cv2.IMREAD_COLOR)
+        img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+        ch, cw = self.crop_size
+        h, w = img.shape[:2]
+        if h < ch or w < cw:  # torchvision CenterCrop zero-pads small images
+            ph, pw = max(ch - h, 0), max(cw - w, 0)
+            img = np.pad(img, ((ph // 2, ph - ph // 2),
+                               (pw // 2, pw - pw // 2), (0, 0)))
+            h, w = img.shape[:2]
+        top = (h - ch) // 2
+        left = (w - cw) // 2
+        img = img[top:top + ch, left:left + cw]
+        return (img.astype(np.float32) / 255.0) * 2.0 - 1.0
+
+    def __getitem__(self, idx: int) -> dict:
+        name = self.names[idx]
+        return {'gt': self._load('gt', name)[None],
+                'lq': self._load('sr_bicubic', name)[None],
+                'text': ''}
+
+    def __iter__(self) -> Iterator[dict]:
+        for i in range(len(self)):
+            yield self[i]
+
+
 def shard_for_process(items: List, process_index: int,
                       process_count: int) -> List:
     """Rank-strided work split (the reference's prompt-list DP sharding,

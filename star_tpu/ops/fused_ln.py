@@ -39,6 +39,7 @@ from __future__ import annotations
 
 import functools
 import os
+import warnings
 
 import jax
 import jax.numpy as jnp
@@ -111,8 +112,19 @@ def _impl(x, scale, bias, gate_w, eps, interpret):
     rows = 1
     for s in shape[:-1]:
         rows *= s
-    rb = int(os.environ.get('STAR_FUSED_LN_RB', 0)) or (
-        _pick_rb(rows, c) if rows else None)
+    try:
+        forced = int(os.environ.get('STAR_FUSED_LN_RB', 0))
+    except ValueError:
+        warnings.warn('STAR_FUSED_LN_RB is not an integer; ignoring')
+        forced = 0
+    # A forced rb must satisfy the same invariants _pick_rb guarantees:
+    # it tiles rows exactly (grid floors otherwise, leaving trailing rows
+    # unwritten) and keeps sublane alignment.
+    if forced and (forced > rows or rows % forced or forced % 8):
+        warnings.warn(f'STAR_FUSED_LN_RB={forced} invalid for rows={rows}; '
+                      'falling back to _pick_rb')
+        forced = 0
+    rb = forced or (_pick_rb(rows, c) if rows else None)
     if (rb is None or c > 4096 or c % 8
             or not (_on_tpu() or interpret)):
         return fused_ln_reference(x, scale, bias, eps, gate_w)

@@ -19,7 +19,18 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+try:
+    from jax import shard_map as _shard_map
+    import inspect as _inspect
+    if 'check_rep' in _inspect.signature(_shard_map).parameters:
+        shard_map = _shard_map
+    else:
+        def shard_map(*a, check_rep=None, **kw):  # jax>=0.9: check_vma
+            if check_rep is not None:
+                kw.setdefault('check_vma', check_rep)
+            return _shard_map(*a, **kw)
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map
 
 from .mesh import AXIS_CONTEXT
 

@@ -370,11 +370,10 @@ def cp_encode(params, video: jax.Array, mesh, *, axis_name: str = 'context',
     """Time-sharded CausalEncoder3D: video [B, 1+P*k, H, W, 3] -> moments
     [B, 1+P*k', H/8, W/8, 2z]. Bit-equal to the single-device encoder (the
     reference's encoder also gathers norm statistics globally)."""
-    from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
 
     from ..parallel.context_parallel import (cp_pad_to_slots,
-                                             cp_unpad_from_slots)
+                                             cp_unpad_from_slots, shard_map)
     n = mesh.shape[axis_name]
     enc = CausalEncoder3D(cp_axis=axis_name, **enc_fields)
     spec = P(None, axis_name, None, None, None)
@@ -389,11 +388,10 @@ def cp_decode(params, z: jax.Array, mesh, *, axis_name: str = 'context',
     [B, 1+P*4k, 8h, 8w, 3]. Matches the single-device FULL-CLIP decode (our
     norms gather globally; the reference's CP decoder uses per-rank
     statistics — see VideoGroupNorm.cp_axis note)."""
-    from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
 
     from ..parallel.context_parallel import (cp_pad_to_slots,
-                                             cp_unpad_from_slots)
+                                             cp_unpad_from_slots, shard_map)
     n = mesh.shape[axis_name]
     dec = CausalDecoder3D(cp_axis=axis_name, **dec_fields)
     spec = P(None, axis_name, None, None, None)

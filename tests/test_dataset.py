@@ -99,3 +99,31 @@ def test_prefetch_iterator_yields_all_and_propagates_errors():
     # factory version returns fresh iterators (epoch reset contract)
     f = prefetched(lambda: range(3), depth=2)
     assert list(f()) == [0, 1, 2] and list(f()) == [0, 1, 2]
+
+
+def test_paired_image_dataset(tmp_path):
+    """PairedCaptionImageDataset: crop-or-pad to crop_size, 1-frame clips,
+    empty caption (ref dataset.py:63-111)."""
+    import cv2
+    from star_tpu.data.dataset import PairedCaptionImageDataset
+    rng = np.random.RandomState(0)
+    for sub in ('gt', 'sr_bicubic'):
+        os.makedirs(tmp_path / sub, exist_ok=True)
+    # one image larger than crop (center-cropped), one smaller (zero-padded)
+    cv2.imwrite(str(tmp_path / 'gt' / 'a.png'),
+                rng.randint(0, 255, (40, 60, 3), dtype=np.uint8))
+    cv2.imwrite(str(tmp_path / 'sr_bicubic' / 'a.png'),
+                rng.randint(0, 255, (40, 60, 3), dtype=np.uint8))
+    cv2.imwrite(str(tmp_path / 'gt' / 'b.png'),
+                rng.randint(0, 255, (16, 20, 3), dtype=np.uint8))
+    cv2.imwrite(str(tmp_path / 'sr_bicubic' / 'b.png'),
+                rng.randint(0, 255, (16, 20, 3), dtype=np.uint8))
+    ds = PairedCaptionImageDataset(str(tmp_path), crop_size=(32, 48))
+    assert len(ds) == 2
+    for item in ds:
+        assert item['gt'].shape == (1, 32, 48, 3)
+        assert item['lq'].shape == (1, 32, 48, 3)
+        assert item['text'] == ''
+        assert -1.0 <= item['gt'].min() and item['gt'].max() <= 1.0
+    # the padded small image has exact -1.0 (zero-pixel) borders
+    assert (ds[1]['gt'][0, 0] == -1.0).all()

@@ -86,6 +86,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--iters', type=int, default=3)
     ap.add_argument('--out', default='/tmp/star_trace')
+    ap.add_argument('--dump', default=None,
+                    help='write the full per-op ms/step table to this JSON')
     args = ap.parse_args()
 
     import jax
@@ -128,6 +130,12 @@ def main():
     print('--- top 25 ops (ms/step) ---')
     for name, us in by_op.most_common(25):
         print(f'{us / 1e3 / n:9.2f}  {name}')
+    if args.dump:
+        with open(args.dump, 'w') as fh:
+            json.dump([{'ms': round(us / 1e3 / n, 3),
+                        'cat': classify(name), 'op': name}
+                       for name, us in by_op.most_common()], fh, indent=0)
+        print(f'[t] dumped {len(by_op)} ops to {args.dump}')
 
 
 if __name__ == '__main__':
