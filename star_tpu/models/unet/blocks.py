@@ -303,35 +303,85 @@ class TemporalTransformer(nn.Module):
         return x.reshape(b, f, h, w, c) + x_in
 
 
+class _GNParams(nn.Module):
+    """Parameter holder with GroupNorm's tree ('scale'/'bias') for fused
+    kernels that apply the norm internally."""
+    channels: int
+
+    @nn.compact
+    def __call__(self):
+        s = self.param('scale', nn.initializers.ones, (self.channels,),
+                       jnp.float32)
+        b = self.param('bias', nn.initializers.zeros, (self.channels,),
+                       jnp.float32)
+        return s, b
+
+
+class _TConvParams(nn.Module):
+    """Parameter holder with TemporalConv3's tree ('kernel' [3,1,Cin,Cout]
+    + 'bias')."""
+    in_channels: int
+    features: int
+    zero_init: bool = False
+
+    @nn.compact
+    def __call__(self):
+        init = (nn.initializers.zeros if self.zero_init
+                else nn.initializers.lecun_normal())
+        k = self.param('kernel', init, (3, 1, self.in_channels,
+                                        self.features), jnp.float32)
+        b = self.param('bias', nn.initializers.zeros, (self.features,),
+                       jnp.float32)
+        return k, b
+
+
 class TemporalConvBlockV2(nn.Module):
     """4x (GN+SiLU+[Dropout]+Conv k=(3,1,1)) residual temporal conv
     (unet_v2v.py:1194-1278). Channels-last: the (3,1,1) Conv3d over
-    [B,C,F,H,W] is a 3-tap im2col-matmul conv over [B, F, HW, C]
-    (ops.temporal_conv — XLA's native (3,1)-conv lowering ran at ~28 TF/s
-    and materialized fp32 GN-coefficient broadcasts)."""
+    [B,C,F,H,W] is a 3-tap matmul conv over [B, F, HW, C].
+
+    Inference path (r4): the 4-stage chain runs through the fused
+    GN+SiLU+tconv Pallas kernel (ops/fused_temporal_conv.py) with GroupNorm
+    statistics THREADED between stages and the residual folded into the
+    last stage — one HBM read+write per stage instead of the XLA chain's
+    per-stage stats reduce + two materialized frame-shifted im2col copies +
+    apply/SiLU glue (~120 ms of the r4 trace of the 1143 ms CFG step).
+    Training with active dropout keeps the unfused chain (dropout between
+    GN and conv breaks the stats threading). Param tree is unchanged."""
     channels: int
     dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        from ...ops.fused_temporal_conv import fused_gn_silu_tconv3
+        from ...ops.temporal_conv import temporal_conv3
         # x: [B, F, H, W, C]
         b, f, h, w, c = x.shape
         identity = x
         x = x.reshape(b, f, h * w, c)
+        names = ('conv1', 'conv2', 'conv3', 'conv4')
+        gn = [_GNParams(c, name=f'{n}_norm')() for n in names]
+        cv = [_TConvParams(c, self.channels, zero_init=(n == 'conv4'),
+                           name=n)() for n in names]
 
-        def conv_stage(x, name, first):
-            x = GroupNorm(name=f'{name}_norm')(x)
+        if deterministic or self.dropout <= 0:
+            stats = None
+            for i in range(4):
+                last = i == 3
+                x, stats = fused_gn_silu_tconv3(
+                    x.astype(self.dtype), *gn[i], *cv[i], stats=stats,
+                    residual=(identity.reshape(b, f, h * w, c) if last
+                              else None),
+                    want_stats=not last)
+            return x.reshape(b, f, h, w, c)
+
+        for i in range(4):
+            x = group_norm(x, *gn[i])
             x = jax.nn.silu(x.astype(jnp.float32)).astype(self.dtype)
-            if not first and self.dropout > 0:
+            if i > 0:
                 x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
-            return TemporalConv3(self.channels, zero_init=(name == 'conv4'),
-                                 dtype=self.dtype, name=f'{name}')(x)
-
-        x = conv_stage(x, 'conv1', True)
-        x = conv_stage(x, 'conv2', False)
-        x = conv_stage(x, 'conv3', False)
-        x = conv_stage(x, 'conv4', False)
+            x = temporal_conv3(x.astype(self.dtype), *cv[i])
         return identity + x.reshape(b, f, h, w, c)
 
 

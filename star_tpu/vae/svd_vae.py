@@ -153,11 +153,14 @@ class TemporalResnetBlock(nn.Module):
         b, f, hh, ww, c = x.shape
         s1, b1 = _GNParams(c, name='norm1')()
         s2, b2 = _GNParams(self.out_channels, name='norm2')()
-        h = _gn_apply_5d(x, s1, b1, stats)
+        # diffusers passes temporal_eps=1e-5 to the temporal blocks (vs 1e-6
+        # spatial) — MidBlockTemporalDecoder/UpBlockTemporalDecoder ctor args;
+        # verified by the svd_vae golden
+        h = _gn_apply_5d(x, s1, b1, stats, eps=1e-5)
         h = jax.nn.silu(h)
         h = TemporalConv3(self.out_channels, dtype=self.dtype,
                           name='conv1')(h)
-        h = _gn_apply_5d(h, s2, b2, None)
+        h = _gn_apply_5d(h, s2, b2, None, eps=1e-5)
         h = jax.nn.silu(h)
         h = TemporalConv3(self.out_channels, dtype=self.dtype,
                           name='conv2')(h)
@@ -314,10 +317,21 @@ class TemporalDecoder(nn.Module):
 
         b2, f2, h2, w2, c2 = x.shape
         sn, bn = _GNParams(c2, name='conv_norm_out')()
-        x = _gn_apply_5d(x, sn, bn, stats)
-        x = jax.nn.silu(x)
+        # conv_norm_out runs on the frame-flattened [B*F, C, H, W] tensor in
+        # diffusers' TemporalDecoder.forward — PER-FRAME statistics, unlike
+        # the temporal res blocks which normalize the 5-D tensor (pooled
+        # over frames). Caught by the svd_vae golden (0.25 max error when
+        # pooled). The threaded `stats` are already per-frame [B*F, C] sums.
+        x4 = x.reshape(b2 * f2, h2, w2, c2)
+        st = channel_stats(x4.reshape(b2 * f2, -1, c2)) \
+            if stats is None else stats
+        av, bv = gn_coeffs(st, h2 * w2 * (c2 // 32), sn, bn, 32, 1e-6)
+        brd = (b2 * f2, 1, 1, c2)
+        x4 = (x4 * av.astype(x4.dtype).reshape(brd)
+              + bv.astype(x4.dtype).reshape(brd))
+        x = jax.nn.silu(x4)
         x = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
-                    name='conv_out')(x.reshape(b2 * f2, h2, w2, c2))
+                    name='conv_out')(x)
         x = x.reshape(b2, f2, h2 * w2, self.out_channels)
         # time_conv_out: Conv3d k=(3,1,1) over frames
         x = nn.Conv(self.out_channels, (3, 1), padding=((1, 1), (0, 0)),
@@ -337,12 +351,12 @@ class SVDTemporalVAE(nn.Module):
     decode_batch: int = 1   # windows decoded together per lax.map step:
     #                         windows are independent (zero temporal pad at
     #                         window edges). Measured at 720p/9f on v5e:
-    #                         gb=1 5.6 fps, gb=2 5.59, gb=3 6.25 (one
-    #                         9-frame decoder call, no map) — batching is
-    #                         NOT the decode lever, and grouped windows
-    #                         raised the full-pipeline capstone's peak HBM
-    #                         past 15.75G. Default stays serial; bench/
-    #                         standalone decode can opt into 3.
+    #                         gb=1 5.6 fps, gb=2 5.59, gb=3 6.25-8.18 (one
+    #                         9-frame decoder call, no map). r3 kept 1
+    #                         because gb=3 pushed the SINGLE whole-clip
+    #                         graph past the 15.75G HBM ceiling; r4 splits
+    #                         decode into its own jit (video_sr._build_run),
+    #                         so the grouped default is back.
 
     def setup(self):
         self.encoder = Encoder(dtype=self.dtype, name='encoder')

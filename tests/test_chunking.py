@@ -4,6 +4,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from star_tpu.pipeline.chunking import (chunked_x0_fn, make_chunks,
+
+import pytest
+
+pytestmark = pytest.mark.quick
                                         sliding_windows_1d, stitch_slices)
 
 

@@ -6,6 +6,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.quick
+
 from star_tpu.pipeline.color_fix import (adain_color_fix,
                                          wavelet_color_fix,
                                          wavelet_decomposition)

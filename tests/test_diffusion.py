@@ -5,6 +5,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.quick
+
 from star_tpu.diffusion import (DiffusionTables, build_sigma_ladder,
                                 default_star_schedule, diffuse,
                                 denoise_to_x0, get_velocity, get_x0,

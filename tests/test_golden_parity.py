@@ -13,6 +13,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.quick
+
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), '..', 'goldens')
 
 
@@ -67,6 +69,106 @@ def test_causal_vae_golden_roundtrip():
     rec = dec.apply({'params': params['decoder']},
                     jnp.asarray(to_ours(data['z'])))
     np.testing.assert_allclose(np.asarray(rec), to_ours(data['rec']),
+                               atol=5e-3)
+
+
+def test_sample_sr_trajectory_golden():
+    """Reference GaussianDiffusion.sample_sr (diffusion_sdedit.py:264-412)
+    deterministic 15-step fast-mode trajectory with a closed-form mock
+    denoiser vs our build_sigma_ladder + chunked_x0_fn + denoise_to_x0 +
+    sample_dpmpp_2m_sde composition (the exact pieces STARPipeline._build_run
+    wires, pipeline/video_sr.py:87-126). Covers the 4+11 trailing ladder,
+    sigma->t rounding, CFG guide_rescale, both 2M update branches, and the
+    overlap-cut chunk stitching with per-chunk hint slicing."""
+    data = _golden('sample_sr.npz')
+    import jax
+    import jax.numpy as jnp
+    from star_tpu.diffusion import (DiffusionTables, build_sigma_ladder,
+                                    default_star_schedule, denoise_to_x0,
+                                    sample_dpmpp_2m_sde)
+    from star_tpu.pipeline.chunking import chunked_x0_fn, make_chunks
+
+    schedule = default_star_schedule()
+    tables = DiffusionTables.from_schedule(schedule)
+    sigmas = build_sigma_ladder(schedule, steps=15, t_max=899, t_min=0,
+                                solver_mode='fast',
+                                discretization='trailing')
+
+    to_ours = lambda a: np.transpose(a, (0, 2, 3, 4, 1))  # BCFHW -> BFHWC
+    noised = jnp.asarray(to_ours(data['noised']))
+    hint = jnp.asarray(to_ours(data['hint']))
+    y_c = float(data['y_cond'])
+    y_u = float(data['y_uncond'])
+
+    def mock_v(xt, hint_chunk, t, y):
+        tt = t.astype(jnp.float32) / 1000.0
+        return jnp.tanh(xt) * tt.reshape(-1, 1, 1, 1, 1) + y \
+            + 0.05 * hint_chunk
+
+    def denoise_chunk(xt, hint_chunk, t):
+        bb = xt.shape[0]
+        tfull = jnp.full((bb,), t, jnp.int32)
+        v_c = mock_v(xt, hint_chunk, tfull, y_c)
+        v_u = mock_v(xt, hint_chunk, tfull, y_u)
+        return denoise_to_x0(tables, xt, tfull, v_c, v_u,
+                             guide_scale=7.5, guide_rescale=0.2)
+
+    # chunked path (10 frames, windows of 4, overlap 2)
+    chunk_inds = make_chunks(10, 4)
+    assert chunk_inds == [tuple(p) for p in data['chunk_inds']]
+    x0_fn = chunked_x0_fn(denoise_chunk, hint, chunk_inds)
+    out = sample_dpmpp_2m_sde(x0_fn, noised, schedule, sigmas,
+                              jax.random.PRNGKey(0), s_noise=0.0)
+    np.testing.assert_allclose(np.asarray(out), to_ours(data['out']),
+                               atol=2e-4)
+
+    # unchunked path (model_fn, 4 frames)
+    x0_fn4 = chunked_x0_fn(denoise_chunk, hint[:, :4], [(0, 4)])
+    out4 = sample_dpmpp_2m_sde(x0_fn4, noised[:, :4], schedule, sigmas,
+                               jax.random.PRNGKey(0), s_noise=0.0)
+    np.testing.assert_allclose(np.asarray(out4), to_ours(data['out_nochunk']),
+                               atol=2e-4)
+
+
+def test_svd_vae_golden_roundtrip():
+    """Tiny AutoencoderKLTemporalDecoder goldens (the diffusers class built
+    at video_to_video_model.py:57-63; torch side re-implemented with the
+    published state-dict naming in tools/ref_stubs/diffusers) vs our
+    Encoder/TemporalDecoder through svd_vae_name_map. Covers the SD 2D
+    encoder (asymmetric downsample, mid attention, quant_conv) and the SVD
+    temporal decoder (SpatioTemporalResBlock alpha blend, temporal eps 1e-5,
+    (3,1,1) convs, nearest-2x upsample, time_conv_out)."""
+    data = _golden('svd_vae.npz')
+    import json
+
+    import jax.numpy as jnp
+    from star_tpu.convert import convert_state_dict
+    from star_tpu.convert.tower_maps import svd_vae_name_map
+    from star_tpu.vae.svd_vae import Encoder, TemporalDecoder
+
+    cfg = json.loads(str(data['config_json']))
+    chs = tuple(cfg['block_out_channels'])
+    sd = {k[4:]: data[k] for k in data.files if k.startswith('sd::')}
+    params = convert_state_dict(
+        sd, svd_vae_name_map(block_out_channels=chs,
+                             layers_per_block=cfg['layers_per_block']))
+
+    to_ours = lambda a: np.transpose(a, (0, 2, 3, 1))  # NCHW -> NHWC
+    enc = Encoder(block_out_channels=chs,
+                  layers_per_block=cfg['layers_per_block'],
+                  dtype=jnp.float32)
+    moments = enc.apply({'params': params['encoder']},
+                        jnp.asarray(to_ours(data['x'])))
+    np.testing.assert_allclose(np.asarray(moments), to_ours(data['moments']),
+                               atol=5e-3)
+
+    f = int(cfg['num_frames'])
+    dec = TemporalDecoder(block_out_channels=chs,
+                          layers_per_block=cfg['layers_per_block'],
+                          dtype=jnp.float32)
+    z = jnp.asarray(to_ours(data['z']))[None]          # [1, F, h, w, 4]
+    rec = dec.apply({'params': params['decoder']}, z)
+    np.testing.assert_allclose(np.asarray(rec)[0], to_ours(data['rec']),
                                atol=5e-3)
 
 

@@ -9,6 +9,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.quick
 from flax import linen as nn
 
 from star_tpu.config import PipelineConfig, SamplerConfig

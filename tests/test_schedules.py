@@ -12,6 +12,8 @@ import sys
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.quick
+
 from star_tpu.diffusion import (Schedule, build_sigma_ladder,
                                 default_star_schedule, noise_schedule,
                                 sigma_to_t, t_to_sigma, trailing_timesteps)

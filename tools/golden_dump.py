@@ -339,6 +339,97 @@ def dump_vpode(ref_root: str, out_dir: str):
                num_steps=np.asarray(n)))
 
 
+def dump_sample_sr(ref_root: str, out_dir: str):
+    """Deterministic 15-step fast-mode GaussianDiffusion.sample_sr trajectory
+    (diffusion_sdedit.py:264-412) with a closed-form mock denoiser: covers
+    the trailing 4+11 ladder split, sigma->t rounding, CFG + guide_rescale,
+    the dpmpp_2m_sde update chain (eta=1, stochastic term zeroed via the
+    torchsde stub / s_noise=0), and model_chunk_fn's overlap-cut stitching
+    (:330-353) incl. the per-chunk hint slicing."""
+    import numpy as np
+    import torch
+    _setup_paths(ref_root)
+    from video_to_video.diffusion.diffusion_sdedit import GaussianDiffusion
+    from video_to_video.diffusion.schedules_sdedit import noise_schedule
+    from video_to_video.video_to_video_model import make_chunks
+
+    gd = GaussianDiffusion(sigmas=noise_schedule(
+        'logsnr_cosine_interp', n=1000, zero_terminal_snr=True,
+        scale_min=2.0, scale_max=4.0))
+
+    g = torch.Generator().manual_seed(14)
+    b, c, f, h, w = 1, 4, 10, 8, 8
+    noised = torch.randn(b, c, f, h, w, generator=g)
+    hint = torch.randn(b, c, f, h, w, generator=g)
+    chunk_inds = make_chunks(f, interp_f_num=0, max_chunk_len=4)
+
+    def model(xt, t=None, y=None, hint=None, hint_chunk=None,
+              variant_info=None, **kw):
+        hh = hint_chunk if hint_chunk is not None else hint
+        tt = t.float().reshape(-1, 1, 1, 1, 1) / 1000.0
+        return torch.tanh(xt) * tt + y + 0.05 * hh
+
+    model_kwargs = [{'y': torch.tensor(0.3)}, {'y': torch.tensor(-0.2)},
+                    {'hint': hint}]
+    with torch.no_grad():
+        out = gd.sample_sr(
+            noise=noised.clone(), model=model, model_kwargs=model_kwargs,
+            guide_scale=7.5, guide_rescale=0.2, solver='dpmpp_2m_sde',
+            solver_mode='fast', steps=15, t_max=899, t_min=0,
+            discretization='trailing', chunk_inds=chunk_inds,
+            s_noise=0.0, show_progress=False)
+        # unchunked variant on the first 4 frames (model_fn path)
+        out_nochunk = gd.sample_sr(
+            noise=noised[:, :, :4].clone(), model=model,
+            model_kwargs=[{'y': torch.tensor(0.3)},
+                          {'y': torch.tensor(-0.2)},
+                          {'hint': hint[:, :, :4]}],
+            guide_scale=7.5, guide_rescale=0.2, solver='dpmpp_2m_sde',
+            solver_mode='fast', steps=15, t_max=899, t_min=0,
+            discretization='trailing', chunk_inds=None,
+            s_noise=0.0, show_progress=False)
+    _save(out_dir, 'sample_sr',
+          dict(noised=noised.numpy(), hint=hint.numpy(), out=out.numpy(),
+               out_nochunk=out_nochunk.numpy(),
+               chunk_inds=np.asarray(chunk_inds),
+               y_cond=np.asarray(0.3, np.float32),
+               y_uncond=np.asarray(-0.2, np.float32)))
+
+
+def dump_svd_vae(ref_root: str, out_dir: str):
+    """Scaled-down AutoencoderKLTemporalDecoder (the diffusers class the
+    reference builds at video_to_video_model.py:57-63 and chunk-drives at
+    :141-161) encode + temporal-decode round trip. diffusers is not
+    installed; tools/ref_stubs/diffusers re-implements the module tree with
+    the published state-dict naming (see its docstring). 5 frames exercises
+    the temporal (3,1,1) convs, the learned alpha blend and time_conv_out;
+    (32, 64) channels exercise the j==0 shortcut in both towers."""
+    import torch
+    _setup_paths(ref_root)
+    torch.manual_seed(0)
+    from diffusers import AutoencoderKLTemporalDecoder
+    assert getattr(AutoencoderKLTemporalDecoder, '__module__', '') \
+        .startswith('diffusers'), 'stub import failed'
+    chs = (32, 64)
+    vae = AutoencoderKLTemporalDecoder(
+        block_out_channels=chs, layers_per_block=2).float().eval()
+    _perturb_(vae, seed=12)
+
+    g = torch.Generator().manual_seed(13)
+    f = 5
+    x = torch.randn(f, 3, 32, 32, generator=g)       # [(b f), 3, H, W]
+    with torch.no_grad():
+        moments = vae.quant_conv(vae.encoder(x))
+        z = moments[:, :vae.config.latent_channels]  # mean half
+        rec = vae.decode(z, num_frames=f).sample
+    _save(out_dir, 'svd_vae',
+          dict(x=x.numpy(), moments=moments.numpy(), z=z.numpy(),
+               rec=rec.numpy()),
+          state_dict=vae.state_dict(),
+          config=dict(block_out_channels=list(chs), layers_per_block=2,
+                      num_frames=f))
+
+
 TINY_DIT = dict(num_frames=9, time_compressed_rate=4, latent_width=8,
                 latent_height=8, patch_size=2, in_channels=8, out_channels=8,
                 hidden_size=64, num_layers=2, num_attention_heads=4,
@@ -418,6 +509,7 @@ DUMPS = {
     'vpsde_sampler': dump_vpsde,
     'vpode_sampler': dump_vpode,
     'dit_small': dump_dit,
+    'svd_vae': dump_svd_vae,
 }
 
 
