@@ -101,15 +101,39 @@ def main():
     pipe = build_pipeline(models, cfg, param_dtype=dtype,
                           allow_hash_tokenizer=args.allow_random_weights)
 
-    for video_path, prompt in jobs:
+    # 3-stage host/device pipeline: a prefetch thread decodes clip N+1 while
+    # the device runs clip N; clip N-1's readback + encode/save happens only
+    # AFTER clip N is dispatched, so the tunnel transfer and cv2 writing
+    # overlap device compute (the reference serializes one process per
+    # video, inference_sr.sh:43-53)
+    import numpy as np
+
+    from ..data.prefetch import PrefetchIterator
+
+    def _load(job):
+        video_path, prompt = job
         frames, fps = load_video(video_path)
+        return video_path, prompt, frames, fps
+
+    def _flush(pending):
+        out_dev, name, fps = pending
+        path = save_video(np.asarray(jax.device_get(out_dev)),
+                          args.save_dir, name, fps=fps)
+        logger.info('saved %s', path)
+
+    pending = None
+    loaded = PrefetchIterator((_load(j) for j in jobs), depth=2)
+    for video_path, prompt, frames, fps in loaded:
         logger.info('input %s: %s frames @ %.2f fps, %sx%s', video_path,
                     frames.shape[0], fps, frames.shape[1], frames.shape[2])
-        out = pipe.enhance_a_video(frames, prompt, seed=args.seed)
+        out_dev = pipe.enhance_a_video_async(frames, prompt, seed=args.seed)
+        if pending is not None:
+            _flush(pending)
         name = (args.file_name if len(jobs) == 1 and args.file_name
                 else os.path.basename(video_path))
-        path = save_video(out, args.save_dir, name, fps=fps)
-        logger.info('saved %s', path)
+        pending = (out_dev, name, fps)
+    if pending is not None:
+        _flush(pending)
 
 
 if __name__ == '__main__':

@@ -91,8 +91,13 @@ class STARPipeline:
         tables = self.tables
         models = self.models
 
-        def run(params, video: jax.Array, y_cond: jax.Array,
-                y_uncond: jax.Array, key: jax.Array) -> jax.Array:
+        # The clip runs as TWO jitted graphs — upsample/encode/solve, then
+        # decode/unpad/color-fix. Latents hand off ON DEVICE (a few MB; no
+        # host round-trip), and each graph gets its own HBM peak: the
+        # grouped-window decode (decode_batch=3, ~30% faster at 720p) fits
+        # again, where the fused single graph hit the 15.75G ceiling (r3).
+        def run_solve(params, video: jax.Array, y_cond: jax.Array,
+                      y_uncond: jax.Array, key: jax.Array) -> jax.Array:
             # video: [F, H, W, 3] in [-1, 1]
             k_enc, k_diff, k_solve = jax.random.split(key, 3)
             up = resize_bilinear(video, target_h, target_w)
@@ -123,18 +128,24 @@ class STARPipeline:
                                   mesh=self.mesh)
             solver = (sample_dpmpp_2m_sde if sc.solver == 'dpmpp_2m_sde'
                       else sample_heun)
-            gen = solver(x0_fn, noised, self.schedule, sigmas, k_solve)
+            return solver(x0_fn, noised, self.schedule, sigmas, k_solve)
 
+        def run_decode(params, gen: jax.Array,
+                       video: jax.Array) -> jax.Array:
             out = models.vae_decode(params['vae'], gen)     # [1,F,ph,pw,3]
             out = out[0, :, h1:h1 + target_h, w1:w1 + target_w, :]
-            out = jnp.clip(out.astype(jnp.float32) * 0.5 + 0.5, 0.0, 1.0) * 255.0
+            out = jnp.clip(out.astype(jnp.float32) * 0.5 + 0.5,
+                           0.0, 1.0) * 255.0
             if cfg.color_fix == 'adain':
                 out = adain_color_fix(out, video)
             elif cfg.color_fix == 'wavelet':
                 out = wavelet_color_fix(out, video)
-            return out
+            # round + uint8 ON DEVICE: the fp32 readback is 4x the bytes
+            # through the tunnel (88 MB vs 22 MB at 8x720p — a visible slice
+            # of the capstone's ~2.8 s host/tunnel exposure)
+            return jnp.round(jnp.clip(out, 0.0, 255.0)).astype(jnp.uint8)
 
-        return jax.jit(run)
+        return jax.jit(run_solve), jax.jit(run_decode)
 
     # ---------------------------------------------------------- cache warming
     def warm(self, f: int, h: int, w: int,
@@ -153,29 +164,36 @@ class STARPipeline:
         else:
             target_h, target_w = target_res
         bucket = (f, h, w, target_h, target_w)
-        run = self._build_run(*bucket)
+        run_solve, run_decode = self._build_run(*bucket)
         sds = lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype)
         p_abs = jax.tree.map(sds, self.models.params)
         tok_abs = jax.ShapeDtypeStruct((1, 77), jnp.int32)
         y_abs = sds(jax.eval_shape(self.models.text_encode, p_abs['text'],
                                    tok_abs))
-        lowered = run.lower(
-            p_abs, jax.ShapeDtypeStruct((f, h, w, 3), jnp.float32),
-            y_abs, y_abs, jax.ShapeDtypeStruct((2,), jnp.uint32))
-        compiled = lowered.compile()
-        cost = compiled.cost_analysis() or {}
-        return float(cost.get('flops', 0.0))
+        vid_abs = jax.ShapeDtypeStruct((f, h, w, 3), jnp.float32)
+        key_abs = jax.ShapeDtypeStruct((2,), jnp.uint32)
+        sol = run_solve.lower(p_abs, vid_abs, y_abs, y_abs,
+                              key_abs).compile()
+        gen_abs = sds(jax.eval_shape(run_solve, p_abs, vid_abs, y_abs,
+                                     y_abs, key_abs))
+        dec = run_decode.lower(p_abs, gen_abs, vid_abs).compile()
+        flops = 0.0
+        for compiled in (sol, dec):
+            cost = compiled.cost_analysis() or {}
+            flops += float(cost.get('flops', 0.0))
+        return flops
 
     # ------------------------------------------------------------- interface
-    def enhance_a_video(self, frames: np.ndarray, prompt: str,
-                        seed: int = 666,
-                        target_res: Optional[tuple[int, int]] = None
-                        ) -> np.ndarray:
-        """frames: [F, H, W, 3] uint8 RGB -> [F, target_H, target_W, 3] uint8.
-
-        Mirrors STAR.enhance_a_video (inference_sr.py:50-84): caption =
-        prompt + positive_prompt, target = upscale*(h, w), seed 666 default.
-        """
+    def enhance_a_video_async(self, frames: np.ndarray, prompt: str,
+                              seed: int = 666,
+                              target_res: Optional[tuple[int, int]] = None
+                              ) -> jax.Array:
+        """Dispatch the whole clip WITHOUT blocking and return the on-device
+        uint8 output (JAX dispatch is asynchronous). A batch driver can
+        overlap clip N's device compute with clip N+1's host decode/dispatch
+        and clip N-1's readback+save (cli/inference_sr.py does); the
+        reference serializes one process per video (inference_sr.sh:43-53).
+        Materialize with jax.device_get / np.asarray."""
         f, h, w, _ = frames.shape
         if target_res is None:
             target_h, target_w = h * self.cfg.upscale, w * self.cfg.upscale
@@ -191,7 +209,20 @@ class STARPipeline:
         bucket = (f, h, w, target_h, target_w)
         if bucket not in self._run_cache:
             self._run_cache[bucket] = self._build_run(*bucket)
-        out = self._run_cache[bucket](self.models.params, jnp.asarray(video),
-                                      y_cond, y_uncond,
-                                      jax.random.PRNGKey(seed))
-        return np.asarray(jax.device_get(out)).round().astype(np.uint8)
+        run_solve, run_decode = self._run_cache[bucket]
+        video_dev = jnp.asarray(video)
+        gen = run_solve(self.models.params, video_dev, y_cond, y_uncond,
+                        jax.random.PRNGKey(seed))
+        return run_decode(self.models.params, gen, video_dev)
+
+    def enhance_a_video(self, frames: np.ndarray, prompt: str,
+                        seed: int = 666,
+                        target_res: Optional[tuple[int, int]] = None
+                        ) -> np.ndarray:
+        """frames: [F, H, W, 3] uint8 RGB -> [F, target_H, target_W, 3] uint8.
+
+        Mirrors STAR.enhance_a_video (inference_sr.py:50-84): caption =
+        prompt + positive_prompt, target = upscale*(h, w), seed 666 default.
+        """
+        out = self.enhance_a_video_async(frames, prompt, seed, target_res)
+        return np.asarray(jax.device_get(out))

@@ -348,7 +348,7 @@ class SVDTemporalVAE(nn.Module):
     """
     dtype: jnp.dtype = jnp.float32
     decode_window: int = 3  # reference decodes 3-frame windows (:127)
-    decode_batch: int = 1   # windows decoded together per lax.map step:
+    decode_batch: int = 3   # windows decoded together per lax.map step:
     #                         windows are independent (zero temporal pad at
     #                         window edges). Measured at 720p/9f on v5e:
     #                         gb=1 5.6 fps, gb=2 5.59, gb=3 6.25-8.18 (one
