@@ -111,18 +111,26 @@ class FeedForwardGEGLU(nn.Module):
 
 class SpatialLIEM(nn.Module):
     """Local Information Enhancement Module, spatial flavor: channel max/mean
-    -> 7x7 conv -> sigmoid gate (unet_v2v.py:380-394)."""
+    -> 7x7 conv -> sigmoid gate (unet_v2v.py:380-394).
+
+    With return_gate=True, returns the per-pixel fp32 sigmoid gate
+    [BF, H, W, 1] instead of the gated tensor — for callers that fold the
+    gate into a downstream LayerNorm (ops/norms.gated_layer_norm) without
+    materializing g*x."""
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, return_gate: bool = False) -> jax.Array:
         # x: [BF, H, W, C]
         mx = jnp.max(x, axis=-1, keepdims=True)
         mn = jnp.mean(x, axis=-1, keepdims=True)
         w = jnp.concatenate([mx, mn], axis=-1)
         w = nn.Conv(1, (7, 7), padding=3, use_bias=False, dtype=self.dtype,
                     name='conv')(w)
-        return jax.nn.sigmoid(w.astype(jnp.float32)).astype(x.dtype) * x
+        g = jax.nn.sigmoid(w.astype(jnp.float32))
+        if return_gate:
+            return g
+        return g.astype(x.dtype) * x
 
 
 class TemporalLIEM(nn.Module):
@@ -165,14 +173,17 @@ class SpatialTransformerBlock(nn.Module):
         # the streams are identical until this cross-attention, so the gate/
         # self-attn prefix runs at half batch and is tiled here (the
         # reference runs the full pair end to end, diffusion_sdedit.py:44-115)
+        from ...ops.norms import gated_layer_norm
         bf = x.shape[0]
-        x_local = x.reshape(bf, h, w, self.dim)
-        x_local = SpatialLIEM(dtype=self.dtype, name='local1')(x_local)
-        x_local = x_local.reshape(bf, h * w, self.dim)
-
+        # the per-pixel LIEM gate folds into norm1's coefficients
+        # (ops/norms.gated_layer_norm) — g*x is never materialized
+        g = SpatialLIEM(dtype=self.dtype, name='local1')(
+            x.reshape(bf, h, w, self.dim), return_gate=True)
+        norm1 = _GNParams(self.dim, name='norm1')()
         x = Attention(self.num_heads, self.head_dim, self.dim,
                       dtype=self.dtype, name='attn1')(
-                          LayerNorm(name='norm1')(x_local)) + x
+                          gated_layer_norm(x, *norm1,
+                                           g.reshape(bf, h * w, 1))) + x
         if cfg_split:
             x = jnp.concatenate([x, x], axis=0)
         x = Attention(self.num_heads, self.head_dim, self.dim,
@@ -197,18 +208,25 @@ class TemporalTransformerBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         # x: [B, F, N, C]
-        # (A fused LIEM-gate+LN Pallas pass — ops/fused_ln.py — was A/B'd in
-        # r3 and LOST at the dominant C=320 scale: 167-212 GB/s in-kernel vs
-        # the XLA chain's effective ~420+, the 320-lane masked tiling being
-        # the bottleneck. Kept in-tree unrouted; see its module docstring.)
-        x_local = TemporalLIEM(dtype=self.dtype, name='local1')(x)
+        # The LIEM gate + LN pair runs as liem_layer_norm (ops/norms.py):
+        # the per-token gate folds algebraically into the LN coefficients so
+        # the gated tensor is never materialized and the max/mean/meansq
+        # reductions fuse into one XLA pass. Pallas spellings of this site
+        # (ops/fused_ln.py r3, ops/stream_fuse.py r4) both measured SLOWER
+        # than the XLA chain at every UNet scale — see their docstrings.
+        from ...ops.norms import liem_layer_norm
+        gw1 = TemporalLIEM(dtype=self.dtype, name='local1')(
+            x, return_kernel=True)
+        norm1 = _GNParams(self.dim, name='norm1')()
         x = TemporalAttentionInplace(self.num_heads, self.head_dim, self.dim,
                                      dtype=self.dtype, name='attn1')(
-                                         LayerNorm(name='norm1')(x_local)) + x
-        x_local = TemporalLIEM(dtype=self.dtype, name='local2')(x)
+                                         liem_layer_norm(x, *norm1, gw1)) + x
+        gw2 = TemporalLIEM(dtype=self.dtype, name='local2')(
+            x, return_kernel=True)
+        norm2 = _GNParams(self.dim, name='norm2')()
         x = TemporalAttentionInplace(self.num_heads, self.head_dim, self.dim,
                                      dtype=self.dtype, name='attn2')(
-                                         LayerNorm(name='norm2')(x_local)) + x
+                                         liem_layer_norm(x, *norm2, gw2)) + x
         x = FeedForwardGEGLU(self.dim, dtype=self.dtype, name='ff')(
             LayerNorm(name='norm3')(x)) + x
         return x

@@ -67,10 +67,73 @@ def group_norm(x: jax.Array, scale: jax.Array, bias: jax.Array,
 
 def layer_norm(x: jax.Array, scale: jax.Array, bias: jax.Array,
                eps: float = 1e-5) -> jax.Array:
-    """LayerNorm over the last axis with fp32 statistics."""
+    """LayerNorm over the last axis with fp32 statistics.
+
+    Stats via fp32-accumulating reductions on x (one fused multi-output
+    pass), bulk apply in the input dtype — the previous whole-tensor fp32
+    upcast + two-pass jnp.var cost ~2x the HBM traffic per LN site on the
+    UNet transformer streams (r4 trace: ~60 ms of LN stat/apply fusions).
+    Same E[x^2]-mean^2 + subtract-first-apply policy as group_norm above;
+    bf16 drift is gated by test_bf16_gate.
+    """
     dtype = x.dtype
-    x32 = x.astype(jnp.float32)
-    mean = x32.mean(axis=-1, keepdims=True)
-    var = x32.var(axis=-1, keepdims=True)
-    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
-    return (y * scale.astype(jnp.float32) + bias.astype(jnp.float32)).astype(dtype)
+    mean = jnp.mean(x, axis=-1, keepdims=True, dtype=jnp.float32)
+    m2 = jnp.mean(jax.lax.square(x.astype(jnp.float32)), axis=-1,
+                  keepdims=True)
+    var = jnp.maximum(m2 - jax.lax.square(mean), 0.0)
+    a = (jax.lax.rsqrt(var + eps)).astype(dtype)
+    y = (x - mean.astype(dtype)) * a * scale.astype(dtype) \
+        + bias.astype(dtype)
+    return y.astype(dtype)
+
+
+def gated_layer_norm(x: jax.Array, scale: jax.Array, bias: jax.Array,
+                     g: jax.Array, eps: float = 1e-5) -> jax.Array:
+    """LayerNorm(g * x) for a precomputed per-token gate g ([..., 1],
+    fp32) — e.g. the SpatialLIEM 7x7-conv sigmoid (unet_v2v.py:380-394).
+    Same algebraic fold as liem_layer_norm below: the gated tensor is never
+    materialized."""
+    dtype = x.dtype
+    mean = jnp.mean(x, axis=-1, keepdims=True, dtype=jnp.float32)
+    m2 = jnp.mean(jax.lax.square(x.astype(jnp.float32)), axis=-1,
+                  keepdims=True)
+    g = g.astype(jnp.float32)
+    var = jnp.maximum(m2 - jax.lax.square(mean), 0.0)
+    inv = jax.lax.rsqrt(var * jax.lax.square(g) + eps)
+    a = (g * inv).astype(dtype)
+    y = (x - mean.astype(dtype)) * a * scale.astype(dtype) \
+        + bias.astype(dtype)
+    return y.astype(dtype)
+
+
+def liem_layer_norm(x: jax.Array, scale: jax.Array, bias: jax.Array,
+                    gate_w: jax.Array, eps: float = 1e-5) -> jax.Array:
+    """LayerNorm(g * x) with the TemporalLIEM channel gate
+    g = sigmoid(w0*max_c(x) + w1*mean_c(x)) folded algebraically into the
+    LN coefficients (unet_v2v.py:396-411 followed by the block's LN,
+    unet_v2v.py:479-491).
+
+    g is a per-token scalar, so mean(g*x) = g*mean(x) and
+    var(g*x) = g^2*var(x): the gated tensor is never materialized, and the
+    three channel reductions (max/mean/meansq) fuse into ONE XLA pass over
+    x. The Pallas spelling of this same fold (ops/stream_fuse.py) measured
+    SLOWER than the XLA chain at every UNet scale (C=320 masked-lane /
+    small-array walls — see its docstring); this jnp spelling keeps the
+    algebraic saving and lets XLA do the fusion.
+
+    x: [..., C]; scale/bias: [C]; gate_w: [2] (w0 -> channel max,
+    w1 -> channel mean, the TemporalLIEM Dense kernel).
+    """
+    dtype = x.dtype
+    mx = jnp.max(x, axis=-1, keepdims=True).astype(jnp.float32)
+    mean = jnp.mean(x, axis=-1, keepdims=True, dtype=jnp.float32)
+    m2 = jnp.mean(jax.lax.square(x.astype(jnp.float32)), axis=-1,
+                  keepdims=True)
+    gw = gate_w.astype(jnp.float32)
+    g = jax.nn.sigmoid(mx * gw[0] + mean * gw[1])
+    var = jnp.maximum(m2 - jax.lax.square(mean), 0.0)
+    inv = jax.lax.rsqrt(var * jax.lax.square(g) + eps)
+    a = (g * inv).astype(dtype)
+    y = (x - mean.astype(dtype)) * a * scale.astype(dtype) \
+        + bias.astype(dtype)
+    return y.astype(dtype)

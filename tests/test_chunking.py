@@ -3,12 +3,12 @@
 import jax.numpy as jnp
 import numpy as np
 
-from star_tpu.pipeline.chunking import (chunked_x0_fn, make_chunks,
-
 import pytest
 
-pytestmark = pytest.mark.quick
+from star_tpu.pipeline.chunking import (chunked_x0_fn, make_chunks,
                                         sliding_windows_1d, stitch_slices)
+
+pytestmark = pytest.mark.quick
 
 
 def test_sliding_windows_match_reference_values():
