@@ -98,7 +98,11 @@ def dot_product_attention_packed(q: jax.Array, k: jax.Array, v: jax.Array,
     scale = (1.0 / math.sqrt(d)) if scale is None else scale
     be = backend or _BACKEND
     if be == 'auto':
-        packed_ok = c % 128 == 0 and 128 % d == 0
+        # 128-lane head-pair blocks, or whole-row blocks for odd head
+        # counts (c itself is a legal minor-dim block; c capped so the
+        # in-kernel logits temp + row buffers fit scoped VMEM)
+        packed_ok = ((c % 128 == 0 and 128 % d == 0)
+                     or (c % d == 0 and c % 16 == 0 and c <= 1024))
         use_packed = (_on_tpu() and packed_ok and s >= 512
                       and k.shape[1] >= 512)
         be = 'pallas' if use_packed else 'unpack'

@@ -310,9 +310,20 @@ def _packed_fwd_impl(qn, kn, vn, num_heads: int, scale: float, bq: int,
     b, sq, hd_total = qn.shape
     skv = kn.shape[1]
     d = hd_total // num_heads
-    lane = 128
+    # 128-lane head-pair blocks when the channel count allows; otherwise
+    # whole-row blocks (lane == hd_total is always a legal Mosaic block on
+    # the minor dim) with ALL heads processed sequentially in-kernel — this
+    # is what routes the UNet's odd-head C=320 scale (5x d=64) through the
+    # packed kernel instead of the head-split relayout copies (~0.7 ms per
+    # [16,72000,64] tensor per call in the r4b trace).
+    lane = 128 if hd_total % 128 == 0 and 128 % d == 0 else hd_total
     assert hd_total % lane == 0 and lane % d == 0, (hd_total, d)
     hp = hd_total // lane
+    if lane > 128:
+        # cap the q block so the VMEM footprint (double-buffered q/k/v/out
+        # rows at `lane` width + the [hpb, d+1, bq] accumulator + the
+        # [bk, bq] fp32 logits temp) stays inside the 16MB scoped limit
+        bq = min(bq, max(384, 368640 // lane // 16 * 16))
     if not prescaled:
         qn = (qn.astype(jnp.float32) * (scale * LOG2E)).astype(qn.dtype)
 

@@ -105,6 +105,8 @@ def test_flash_backward_ragged_seq():
     ((2, 200, 200, 2, 64), None),      # ragged seq -> padded blocks
     ((1, 256, 256, 2, 128), None),     # d=128: one head per lane block
     ((1, 260, 260, 4, 64), 252),       # dead kv tail (CogVideoX 9676->9680)
+    ((1, 256, 256, 5, 64), None),      # odd heads -> whole-row lane blocks
+    ((2, 208, 208, 3, 64), 200),       # odd heads + ragged + dead tail
 ])
 def test_packed_matches_xla_reference(shape, kv_valid):
     """Natural-layout [B,S,H*D] packed kernel == reference attention over
