@@ -305,11 +305,14 @@ def _conv3x3_xla(x, a, b, kernel, bias, residual, want_stats):
     bf16; taps accumulate fp32)."""
     y = x * a.astype(x.dtype)[:, None, None] + b.astype(x.dtype)[:, None, None]
     y = y * jax.nn.sigmoid(y)
+    # input-dtype output (fp32 MXU accumulation happens internally): asking
+    # for an fp32 output made XLA materialize f32[9,720,1280,128] conv
+    # results (1.9 GB each, ~23 ms/op) at the VAE decoder's 128ch scale
+    # instead of fusing the bias+cast into the conv
     out = jax.lax.conv_general_dilated(
         y, kernel.astype(x.dtype), (1, 1), [(1, 1), (1, 1)],
-        dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
-        preferred_element_type=jnp.float32)
-    out = (out + bias.astype(jnp.float32)).astype(x.dtype)
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+    out = out + bias.astype(x.dtype)
     if residual is not None:
         out = out + residual
     return out, (channel_stats(out) if want_stats else None)

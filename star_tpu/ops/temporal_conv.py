@@ -59,11 +59,17 @@ def temporal_conv3_video(x5: jax.Array, kernel: jax.Array,
     NHWC stream."""
     k5 = kernel.reshape(3, 1, 1, kernel.shape[2], kernel.shape[3]) \
         .astype(x5.dtype)
+    # output in the input dtype: the MXU accumulates bf16 convs in fp32
+    # internally either way, but preferred_element_type=f32 made XLA
+    # MATERIALIZE the fp32 conv output — 1 GB-scale f32[B,F,H,W,C] temps at
+    # the VAE's pixel scales, ~180 ms of the r4 720p decode trace (the
+    # bias-add+cast fusion did not fuse into the 3-D conv). Rounding moves
+    # from after the bias add to before it (one bf16 ulp); gated by the
+    # svd_vae golden (fp32) + test_bf16_gate.
     y = jax.lax.conv_general_dilated(
         x5, k5, (1, 1, 1), [(1, 1), (0, 0), (0, 0)],
-        dimension_numbers=('NDHWC', 'DHWIO', 'NDHWC'),
-        preferred_element_type=jnp.float32)
-    return (y + bias.astype(jnp.float32)).astype(x5.dtype)
+        dimension_numbers=('NDHWC', 'DHWIO', 'NDHWC'))
+    return y + bias.astype(x5.dtype)
 
 
 class TemporalConv3(nn.Module):
