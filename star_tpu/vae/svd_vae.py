@@ -35,8 +35,8 @@ from flax import linen as nn
 
 from ..ops.attention import dot_product_attention
 from ..ops.conv3x3 import channel_stats, fused_gn_silu_conv3x3, gn_coeffs
+from ..ops.fused_temporal_conv import fused_gn_silu_tconv3
 from ..ops.norms import group_norm
-from ..ops.temporal_conv import TemporalConv3
 from ..ops.upsample_conv import UpsampleConv2x
 
 SVD_VAE_SCALING = 0.18215
@@ -88,26 +88,6 @@ class _ConvParams(nn.Module):
         return k, b
 
 
-def _gn_apply_5d(x, scale, bias, stats: Stats | None, num_groups=32,
-                 eps=1e-6):
-    """GroupNorm apply on [B, F, H, W, C] with per-B statistics pooled over
-    (F, H, W, C/G) — torch GroupNorm semantics on the video tensor. `stats`
-    may be per-frame [B*F, C] sums from the fused conv kernel; they pool
-    linearly. bf16 apply, fp32 coefficients (the fp32-statistics island)."""
-    b, f, hh, ww, c = x.shape
-    if stats is None:
-        s, s2 = channel_stats(x.reshape(b, -1, c))
-    else:
-        s, s2 = stats
-        s = s.reshape(b, f, c).sum(1)
-        s2 = s2.reshape(b, f, c).sum(1)
-    count = f * hh * ww * (c // num_groups)
-    av, bv = gn_coeffs((s, s2), count, scale, bias, num_groups, eps)
-    brd = (b, 1, 1, 1, c)
-    return (x * av.astype(x.dtype).reshape(brd)
-            + bv.astype(x.dtype).reshape(brd))
-
-
 class ResnetBlock2D(nn.Module):
     """SD VAE residual block (no time embedding): GN -> SiLU -> conv, twice,
     with skip. Runs through the fused Pallas conv kernel on TPU; `stats`
@@ -139,6 +119,20 @@ class ResnetBlock2D(nn.Module):
         return out, st2
 
 
+class _TConvParams(nn.Module):
+    """Parameter holder with TemporalConv3 / nn.Conv((3,1))'s tree."""
+    in_channels: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param('kernel', nn.initializers.lecun_normal(),
+                       (3, 1, self.in_channels, self.features), jnp.float32)
+        b = self.param('bias', nn.initializers.zeros, (self.features,),
+                       jnp.float32)
+        return k, b
+
+
 class TemporalResnetBlock(nn.Module):
     """(3,1,1) temporal conv residual block; x is [B, F, H, W, C]."""
     out_channels: int
@@ -146,30 +140,40 @@ class TemporalResnetBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, stats: Stats | None = None):
-        # stays 5-D [B, F, H, W, C] end to end: the temporal (3,1,1) convs
-        # run in the same NHWC-style layout as the surrounding spatial
-        # blocks (a flat [B,F,HW,C] stream made XLA relayout the fp32
-        # conv accumulators at every spatial<->temporal boundary)
+        # Both GN+SiLU+(3,1,1)-conv stages run through the fused Pallas
+        # kernel (ops/fused_temporal_conv.py) on the flat [B, F, HW, C] view
+        # — a free bitcast of the C-minor NHWC stream, consumed in its
+        # natural layout. The previous 5-D lax.conv spelling made XLA
+        # relayout the full activation in front of EVERY temporal conv
+        # ({4,0,3,2,1} tap fusions, ~140 ms of the r4b 720p decode trace)
+        # and re-read it for the norm2 statistics; here the taps shift
+        # inside the VMEM block and norm2's stats thread from stage 1.
         b, f, hh, ww, c = x.shape
         s1, b1 = _GNParams(c, name='norm1')()
         s2, b2 = _GNParams(self.out_channels, name='norm2')()
+        k1, kb1 = _TConvParams(c, self.out_channels, name='conv1')()
+        k2, kb2 = _TConvParams(self.out_channels, self.out_channels,
+                               name='conv2')()
+        x = x.astype(self.dtype)
+        xf = x.reshape(b, f, hh * ww, c)
+        if stats is not None:  # per-frame [B*F, C] sums -> per-B (torch
+            s, s2s = stats     # GroupNorm pools over (F, H, W) here)
+            stats = (s.reshape(b, f, c).sum(1), s2s.reshape(b, f, c).sum(1))
+        if c != self.out_channels:
+            short = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
+                            name='conv_shortcut')(
+                                x.reshape(b * f, hh, ww, c)).reshape(
+                                    b, f, hh * ww, self.out_channels)
+        else:
+            short = xf
         # diffusers passes temporal_eps=1e-5 to the temporal blocks (vs 1e-6
         # spatial) — MidBlockTemporalDecoder/UpBlockTemporalDecoder ctor args;
         # verified by the svd_vae golden
-        h = _gn_apply_5d(x, s1, b1, stats, eps=1e-5)
-        h = jax.nn.silu(h)
-        h = TemporalConv3(self.out_channels, dtype=self.dtype,
-                          name='conv1')(h)
-        h = _gn_apply_5d(h, s2, b2, None, eps=1e-5)
-        h = jax.nn.silu(h)
-        h = TemporalConv3(self.out_channels, dtype=self.dtype,
-                          name='conv2')(h)
-        if c != self.out_channels:
-            x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
-                        name='conv_shortcut')(
-                            x.reshape(b * f, hh, ww, c)).reshape(
-                                b, f, hh, ww, self.out_channels)
-        return x + h
+        h, st1 = fused_gn_silu_tconv3(xf, s1, b1, k1, kb1, stats=stats,
+                                      want_stats=True, eps=1e-5)
+        out, _ = fused_gn_silu_tconv3(h, s2, b2, k2, kb2, stats=st1,
+                                      residual=short, eps=1e-5)
+        return out.reshape(b, f, hh, ww, self.out_channels)
 
 
 class SpatioTemporalResBlock(nn.Module):
