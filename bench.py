@@ -21,7 +21,7 @@ a generous 40% of peak does it in ~745 ms. vs_baseline = est_ref_ms / ours
 when reference hardware is available.
 
 Context numbers measured on this chip (not in the JSON): SVD temporal VAE at
-720p decodes 8.2 fps (decode_batch=3) / encodes 30.5 fps (r3g: fused
+720p decodes 8.88 fps (decode_batch=3) / encodes 30.5 fps (r4: fused
 one-pass upsample-conv + H-Winograd conv3x3 + flash mid-attention);
 CogVideoX DiT CFG step 2224 ms (tools/bench_cog.py).
 """

@@ -140,7 +140,7 @@ class TemporalLIEM(nn.Module):
     With return_kernel=True, returns the Dense's [2] weight vector instead of
     gating (the eye-probe keeps the param path local*/proj/kernel identical
     for the converter) — for callers that fuse the gate elsewhere, e.g. the
-    unrouted ops/fused_ln.py kernel."""
+    unrouted tools/negative_results/fused_ln.py kernel."""
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -212,7 +212,7 @@ class TemporalTransformerBlock(nn.Module):
         # the per-token gate folds algebraically into the LN coefficients so
         # the gated tensor is never materialized and the max/mean/meansq
         # reductions fuse into one XLA pass. Pallas spellings of this site
-        # (ops/fused_ln.py r3, ops/stream_fuse.py r4) both measured SLOWER
+        # (tools/negative_results/fused_ln.py r3, tools/negative_results/stream_fuse.py r4) both measured SLOWER
         # than the XLA chain at every UNet scale — see their docstrings.
         from ...ops.norms import liem_layer_norm
         gw1 = TemporalLIEM(dtype=self.dtype, name='local1')(

@@ -116,7 +116,7 @@ def liem_layer_norm(x: jax.Array, scale: jax.Array, bias: jax.Array,
     g is a per-token scalar, so mean(g*x) = g*mean(x) and
     var(g*x) = g^2*var(x): the gated tensor is never materialized, and the
     three channel reductions (max/mean/meansq) fuse into ONE XLA pass over
-    x. The Pallas spelling of this same fold (ops/stream_fuse.py) measured
+    x. The Pallas spelling of this same fold (tools/negative_results/stream_fuse.py) measured
     SLOWER than the XLA chain at every UNet scale (C=320 masked-lane /
     small-array walls — see its docstring); this jnp spelling keeps the
     algebraic saving and lets XLA do the fusion.

@@ -1,6 +1,8 @@
 """Full-size end-to-end capstone on one chip: 8 frames 180x320 -> 720x1280
-through STARPipeline.enhance_a_video in ONE jitted graph (bf16 zero weights:
-real shapes/graph, meaningless pixels). Prints warm wall time + output fps;
+through STARPipeline.enhance_a_video — TWO jitted graphs since r4 (solve,
+then batched decode+color-fix) handing latents off on device (bf16 zero
+weights: real shapes/graph, meaningless pixels). Prints warm wall time +
+output fps;
 --profile additionally prints a per-STAGE device-time budget (denoise /
 vae-decode / vae-encode / text / other) binned from the op_name module paths
 in the xplane trace.

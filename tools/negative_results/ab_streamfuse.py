@@ -1,4 +1,4 @@
-"""One-process A/B of ops/stream_fuse.py vs the XLA glue it replaces, at the
+"""One-process A/B of tools/negative_results/stream_fuse.py vs the XLA glue it replaces, at the
 UNet temporal-transformer stream shapes (scan-amortized, chip only).
 
 Site = what TemporalTransformerBlock does between attention calls:
@@ -14,13 +14,15 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_here = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(os.path.dirname(_here)))
+sys.path.insert(0, _here)
 
 import jax
 import jax.numpy as jnp
 
 from star_tpu.ops.norms import layer_norm
-from star_tpu.ops.stream_fuse import fused_resid_liem_ln
+from stream_fuse import fused_resid_liem_ln
 from star_tpu.utils.cache import enable_compile_cache
 
 enable_compile_cache()

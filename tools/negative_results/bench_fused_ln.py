@@ -2,7 +2,7 @@
 bench shapes, scan-amortized in ONE process (per-call walls carry ~35 ms of
 tunnel overhead).
 
-    python tools/bench_fused_ln.py
+    python tools/negative_results/bench_fused_ln.py
 """
 
 from __future__ import annotations
@@ -11,7 +11,9 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_here = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(os.path.dirname(_here)))
+sys.path.insert(0, _here)
 
 STEPS = 50
 
@@ -46,7 +48,7 @@ def _time_scanned(fn, x, label):
 def main():
     import jax
     import jax.numpy as jnp
-    from star_tpu.ops.fused_ln import fused_ln, fused_ln_reference
+    from fused_ln import fused_ln, fused_ln_reference
     from star_tpu.utils.cache import enable_compile_cache
     enable_compile_cache()
 

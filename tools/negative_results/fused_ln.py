@@ -106,7 +106,7 @@ def fused_ln_reference(x: jax.Array, scale: jax.Array, bias: jax.Array,
 
 
 def _impl(x, scale, bias, gate_w, eps, interpret):
-    from .attention import _on_tpu
+    from star_tpu.ops.attention import _on_tpu
     shape = x.shape
     c = shape[-1]
     rows = 1

@@ -28,11 +28,11 @@ apply in the input dtype — same fp32-island policy as ops/norms.py, drift
 gated by test_bf16_gate. CPU/odd shapes fall back to the jnp reference;
 training goes through a recompute VJP.
 
-NEGATIVE RESULT (r4, keep UNROUTED): the on-chip A/B (tools/ab_streamfuse.py,
+NEGATIVE RESULT (r4, keep UNROUTED): the on-chip A/B (tools/negative_results/ab_streamfuse.py,
 scan-amortized, one process) LOSES to the XLA chain at every UNet stream
 scale despite the algebraic gate fold — gated+resid fused/xla ms:
 C=320 3.84/2.80 (0.73x), C=640 2.02/1.58 (0.79x), C=1280 1.98/1.08 (0.55x);
-plain+resid 0.62x/0.75x/0.77x. Same conclusion as ops/fused_ln.py from the
+plain+resid 0.62x/0.75x/0.77x. Same conclusion as tools/negative_results/fused_ln.py from the
 other direction: in-graph XLA fuses the add/gate/stat passes into producers
 (standalone A/Bs would UNDERSTATE the chain, yet the kernel loses even
 against the standalone chain), and C%128!=0 rows tile as masked vregs. The
@@ -129,7 +129,7 @@ def _reference(y, resid, gate_w, scale, bias, eps):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
 def _dispatch(y, resid, gate_w, scale, bias, eps, interpret):
-    from .attention import _on_tpu
+    from star_tpu.ops.attention import _on_tpu
     shape = y.shape
     c = shape[-1]
     rows = 1

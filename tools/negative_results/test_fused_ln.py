@@ -1,12 +1,17 @@
-"""Fused LIEM-gate + LayerNorm kernel (ops/fused_ln.py): interpret-mode
+"""Fused LIEM-gate + LayerNorm kernel (tools/negative_results/fused_ln.py): interpret-mode
 kernel vs jnp reference vs the unfused formulation it replaces."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from star_tpu.ops.fused_ln import fused_ln, fused_ln_reference
+from fused_ln import fused_ln, fused_ln_reference
 from star_tpu.ops.norms import layer_norm
 
 
