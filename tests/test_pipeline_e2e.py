@@ -10,7 +10,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-pytestmark = pytest.mark.quick
+pytestmark = pytest.mark.e2e  # ~10 min on the 1-core host: NOT in the quick tier
 from flax import linen as nn
 
 from star_tpu.config import PipelineConfig, SamplerConfig
