@@ -96,7 +96,9 @@ class VideoUNetTrunk(nn.Module):
                 e = jnp.concatenate([e, e], axis=0)
                 xs = [jnp.concatenate([s, s], axis=0) for s in xs]
                 return x
-            return mod(x, context)
+            # pass cfg_split positionally even when False: under nn.remat
+            # the static_argnums=(3,) index must exist on every call
+            return mod(x, context, False)
 
         def temporal_tx(c, name, num_heads=None):
             nheads = (c // hd) if num_heads is None else num_heads

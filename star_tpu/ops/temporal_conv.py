@@ -44,10 +44,9 @@ def temporal_conv3(x: jax.Array, kernel: jax.Array,
         y = jnp.einsum('bfnc,cd->bfnd', xs, kb,
                        preferred_element_type=jnp.float32)
     else:
-        y = jax.lax.conv_general_dilated(
-            x, kernel.astype(x.dtype), (1, 1), [(1, 1), (0, 0)],
-            dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
-            preferred_element_type=jnp.float32)
+        from .conv_acc import conv_f32acc
+        y = conv_f32acc(x, kernel.astype(x.dtype), (1, 1), ((1, 1), (0, 0)),
+                        ('NHWC', 'HWIO', 'NHWC'))
     return (y + bias.astype(jnp.float32)).astype(x.dtype)
 
 

@@ -24,6 +24,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from .conv_acc import conv_f32acc
+
 _M = (
     ((1.0, 0.0), (0.0, 1.0), (0.0, 1.0)),   # even outputs: a=0 -> p=0; a=1,2 -> p=1
     ((1.0, 0.0), (1.0, 0.0), (0.0, 1.0)),   # odd outputs:  a=0,1 -> p=0; a=2 -> p=1
@@ -64,11 +66,10 @@ def upsample_conv2x(x: jax.Array, kernel: jax.Array, bias: jax.Array,
     phases = []
     for r in (0, 1):
         for s in (0, 1):
-            z = jax.lax.conv_general_dilated(
+            z = conv_f32acc(
                 xp[:, r:r + h + 1, s:s + w + 1],
                 k_rs[2 * r + s].astype(x.dtype), (1, 1), 'VALID',
-                dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
-                preferred_element_type=jnp.float32)
+                ('NHWC', 'HWIO', 'NHWC'))
             # bias-add + downcast BEFORE the interleave: a fp32 stack of all
             # four phases is a pixel-scale 14 GB temp at 720p decode
             phases.append((z + b32).astype(x.dtype))
@@ -99,10 +100,9 @@ def upsample_conv2x_cropped(x: jax.Array, kernel: jax.Array,
         outs = []
         for s_ in (0, 1):
             k_s = jnp.einsum('bq,bio->qio', ms_col[s_], k_ab).astype(x.dtype)
-            z_ = jax.lax.conv_general_dilated(
+            z_ = conv_f32acc(
                 rp[:, s_:s_ + w + 1, None, :], k_s[:, None], (1, 1), 'VALID',
-                dimension_numbers=('NWHC', 'WHIO', 'NWHC'),
-                preferred_element_type=jnp.float32)[:, :, 0]
+                ('NWHC', 'WHIO', 'NWHC'))[:, :, 0]
             outs.append(z_)
         t_ = jnp.stack(outs, axis=2)                    # [N, W, 2, Cout]
         return t_.reshape(n, 2 * w, cout)
@@ -113,10 +113,9 @@ def upsample_conv2x_cropped(x: jax.Array, kernel: jax.Array,
         for s in (0, 1):
             k_rs = jnp.einsum('ap,bq,abio->pqio', ms_row[r], ms_col[s],
                               k32).astype(x.dtype)
-            z = jax.lax.conv_general_dilated(
+            z = conv_f32acc(
                 xp[:, :, s:s + w + 1], k_rs, (1, 1), 'VALID',
-                dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
-                preferred_element_type=jnp.float32)       # [N, H-1, W, Cout]
+                ('NHWC', 'HWIO', 'NHWC'))                 # [N, H-1, W, Cout]
             row.append(z)
         phases.append(jnp.stack(row, axis=3))           # [N, H-1, W, 2, Cout]
     even, odd = phases

@@ -72,3 +72,34 @@ def test_cropped_matches_unet_upsample_spelling():
         assert got.shape == ref.shape
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_bf16_grad_through_f32acc_conv():
+    """jax 0.9's conv transpose rule rejects preferred_element_type=f32 with
+    bf16 operands (fp32 cotangent vs bf16 kernel) — ops/conv_acc.py works
+    around it with a custom_vjp. Regression: grad through bf16 upsample-conv
+    and temporal_conv3 must not raise and must be finite/nonzero."""
+    from star_tpu.ops.temporal_conv import temporal_conv3
+
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(1), 3)
+    x = jax.random.normal(k1, (1, 6, 8, 4), jnp.bfloat16)
+    kernel = jax.random.normal(k2, (3, 3, 4, 4), jnp.bfloat16)
+    bias = jnp.zeros((4,), jnp.float32)
+
+    def f_up(k):
+        return jnp.sum(upsample_conv2x(x, k, bias).astype(jnp.float32))
+
+    g = jax.grad(f_up)(kernel)
+    assert g.dtype == kernel.dtype
+    assert np.isfinite(np.asarray(g, np.float32)).all()
+    assert float(jnp.max(jnp.abs(g.astype(jnp.float32)))) > 0
+
+    kt = jax.random.normal(k3, (3, 1, 4, 4), jnp.bfloat16)
+
+    def f_t(k):
+        return jnp.sum(temporal_conv3(x, k, bias).astype(jnp.float32))
+
+    gt = jax.grad(f_t)(kt)
+    assert gt.dtype == kt.dtype
+    assert np.isfinite(np.asarray(gt, np.float32)).all()
+    assert float(jnp.max(jnp.abs(gt.astype(jnp.float32)))) > 0
