@@ -40,6 +40,21 @@ _PACKED_VMEM_Q_BUDGET = 368640  # bq cap numerator for whole-row packed
 #                     368640 = 1152 q rows at lane 320 — swept safe; raising
 #                     it risks the 16MB scoped-vmem limit (tools/sweep_flash).
 
+def _packed_q_budget() -> int:
+    """Sweep override (tools/sweep_flash_packed.py): STAR_FLASH_PACKED_BQ_BUDGET
+    raises/lowers the whole-row bq cap. Values outside [64*128, 16MB/2] are
+    certainly wrong (either no legal block or guaranteed scoped-vmem OOM)."""
+    import os
+    raw = os.environ.get('STAR_FLASH_PACKED_BQ_BUDGET')
+    if not raw:
+        return _PACKED_VMEM_Q_BUDGET
+    val = int(raw)
+    if not 64 * 128 <= val <= 8 * 1024 * 1024:
+        raise ValueError(
+            f'STAR_FLASH_PACKED_BQ_BUDGET={val} outside sane range '
+            f'[{64 * 128}, {8 * 1024 * 1024}]')
+    return val
+
 DEFAULT_BQ = 2880   # swept on v5e at seq 14400/d 64 (tools/sweep_flash.py):
 DEFAULT_BK = 960    # r2 sweep: (2880,960) 70.1ms < (2880,720) 71.3 <
 #                     (1440,1440) 72.6 < (1024,1024)+pad 90.5 per call; the
@@ -328,7 +343,7 @@ def _packed_fwd_impl(qn, kn, vn, num_heads: int, scale: float, bq: int,
         # cap the q block so the VMEM footprint (double-buffered q/k/v/out
         # rows at `lane` width + the [hpb, d+1, bq] accumulator + the
         # [bk, bq] fp32 logits temp) stays inside the 16MB scoped limit
-        bq = min(bq, max(384, _PACKED_VMEM_Q_BUDGET // lane // 16 * 16))
+        bq = min(bq, max(384, _packed_q_budget() // lane // 16 * 16))
     if not prescaled:
         qn = (qn.astype(jnp.float32) * (scale * LOG2E)).astype(qn.dtype)
 
