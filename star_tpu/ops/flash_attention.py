@@ -87,7 +87,7 @@ def _pick_block(s: int, target: int) -> int:
 
 
 def _flash_kernel(*refs, scale: float, masked: bool, fixed_ref: bool,
-                  with_l: bool = False):
+                  with_l: bool = False, mask_start: int = 0):
     l_ref = m_scr = l_scr = None
     if masked:
         mask_ref, q_ref, k_ref, v_ref, *outs = refs
@@ -130,19 +130,36 @@ def _flash_kernel(*refs, scale: float, masked: bool, fixed_ref: bool,
         # amortized over all n_k visits. (q is pre-scaled by scale*log2(e):
         # logits live in log2 space so the softmax is one exp2.)
         d = v.shape[-1]
-        s_t = jax.lax.dot_general(k, q, (((1,), (1,)), ((), ())),
-                                  preferred_element_type=jnp.float32)
-        if masked:
-            # padded key ROWS get a -inf additive bias (table stored
-            # transposed: [skv_pad, 8], sublane-aligned)
-            s_t = s_t + mask_ref[:, :1]
-        p_t = jnp.exp2(jnp.minimum(s_t, 120.0))   # [bk, bq] fp32
-        ones_col = jnp.ones((v.shape[0], 1), v.dtype)
-        v_ext = jnp.concatenate([v, ones_col], axis=1)    # [bk, d+1]
-        out_ext_t = jax.lax.dot_general(v_ext, p_t.astype(v.dtype),
-                                        (((0,), (0,)), ((), ())),
-                                        preferred_element_type=jnp.float32)
-        acc_scr[:] += out_ext_t                    # [d+1, bq]
+
+        def _body(use_mask: bool):
+            s_t = jax.lax.dot_general(k, q, (((1,), (1,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+            if use_mask:
+                # padded key ROWS get a -inf additive bias (table stored
+                # transposed: [skv_pad, 8], sublane-aligned)
+                s_t2 = s_t + mask_ref[:, :1]
+            else:
+                s_t2 = s_t
+            p_t = jnp.exp2(jnp.minimum(s_t2, 120.0))   # [bk, bq] fp32
+            ones_col = jnp.ones((v.shape[0], 1), v.dtype)
+            v_ext = jnp.concatenate([v, ones_col], axis=1)    # [bk, d+1]
+            out_ext_t = jax.lax.dot_general(v_ext, p_t.astype(v.dtype),
+                                            (((0,), (0,)), ((), ())),
+                                            preferred_element_type=jnp.float32)
+            acc_scr[:] += out_ext_t                    # [d+1, bq]
+
+        if masked and mask_start > 0:
+            # the additive bias is a full VPU pass over the logits tile;
+            # only blocks containing dead key rows need it
+            @pl.when(j >= mask_start)
+            def _masked_blocks():
+                _body(True)
+
+            @pl.when(j < mask_start)
+            def _clean_blocks():
+                _body(False)
+        else:
+            _body(masked)
     else:
         # running-max online softmax (reference semantics fallback)
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
@@ -209,7 +226,8 @@ def _flash_fwd(q3: jax.Array, k3: jax.Array, v3: jax.Array, scale: float,
 
     grid = (bh, sq_pad // bq, n_k)
     kernel = functools.partial(_flash_kernel, scale=scale, masked=masked,
-                               fixed_ref=fixed_ref, with_l=with_l)
+                               fixed_ref=fixed_ref, with_l=with_l,
+                               mask_start=skv // bk if masked else 0)
     flops = 4 * bh * sq_pad * skv_pad * d
     in_specs = [
         pl.BlockSpec((1, bq, d), lambda b, i, j: (b, i, 0)),
@@ -262,7 +280,8 @@ def _flash_fwd(q3: jax.Array, k3: jax.Array, v3: jax.Array, scale: float,
     return out[:, :sq]
 
 
-def _flash_packed_kernel(*refs, d: int, masked: bool, exp_bf16: bool):
+def _flash_packed_kernel(*refs, d: int, masked: bool, exp_bf16: bool,
+                         mask_start: int = 0):
     """Head-packed natural-layout flash forward.
 
     Blocks carry L = hpb*d lanes (hpb heads side by side, exactly as they
@@ -270,6 +289,11 @@ def _flash_packed_kernel(*refs, d: int, masked: bool, exp_bf16: bool):
     sequentially in-kernel from static 64-lane slices, so the [B,S,H,D] ->
     [B,H,S,D] HBM relayout + pad that fed the unpacked kernel (23+30 ms per
     tensor per step on the CogVideoX trace) never exists.
+
+    mask_start: first kv-block index containing a dead (>= kv_valid) row.
+    Blocks before it take the mask-free body — the additive bias is a full
+    VPU pass over the logits tile, and for a 4-row tail pad (CogVideoX
+    9676->9680) only the last of 11 blocks actually needs it.
     """
     if masked:
         mask_ref, q_ref, k_ref, v_ref, o_ref, acc_scr = refs
@@ -287,25 +311,39 @@ def _flash_packed_kernel(*refs, d: int, masked: bool, exp_bf16: bool):
     v2 = v_ref[0]
     hpb = q2.shape[-1] // d
     ones_col = jnp.ones((v2.shape[0], 1), v2.dtype)
-    for hi in range(hpb):
-        sl = slice(hi * d, (hi + 1) * d)
-        s_t = jax.lax.dot_general(k2[:, sl], q2[:, sl],
-                                  (((1,), (1,)), ((), ())),
-                                  preferred_element_type=jnp.float32)
-        if masked:
-            s_t = s_t + mask_ref[:, :1]
-        if exp_bf16:
-            # clamp+convert fold into the matmul epilogue; exp2 runs on
-            # packed bf16 vregs (2x VPU rate). The pv matmul consumed bf16
-            # probs either way — this only moves the rounding before the
-            # exp instead of after (comparable error, see test tolerance).
-            p_t = jnp.exp2(jnp.minimum(s_t, 120.0).astype(jnp.bfloat16))
-        else:
-            p_t = jnp.exp2(jnp.minimum(s_t, 120.0)).astype(v2.dtype)
-        v_ext = jnp.concatenate([v2[:, sl], ones_col], axis=1)
-        acc_scr[hi] += jax.lax.dot_general(v_ext, p_t,
-                                           (((0,), (0,)), ((), ())),
-                                           preferred_element_type=jnp.float32)
+
+    def _body(use_mask: bool):
+        for hi in range(hpb):
+            sl = slice(hi * d, (hi + 1) * d)
+            s_t = jax.lax.dot_general(k2[:, sl], q2[:, sl],
+                                      (((1,), (1,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+            if use_mask:
+                s_t = s_t + mask_ref[:, :1]
+            if exp_bf16:
+                # clamp+convert fold into the matmul epilogue; exp2 runs on
+                # packed bf16 vregs (2x VPU rate). The pv matmul consumed
+                # bf16 probs either way — this only moves the rounding
+                # before the exp instead of after (comparable error, see
+                # test tolerance).
+                p_t = jnp.exp2(jnp.minimum(s_t, 120.0).astype(jnp.bfloat16))
+            else:
+                p_t = jnp.exp2(jnp.minimum(s_t, 120.0)).astype(v2.dtype)
+            v_ext = jnp.concatenate([v2[:, sl], ones_col], axis=1)
+            acc_scr[hi] += jax.lax.dot_general(
+                v_ext, p_t, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+    if masked and mask_start > 0:
+        @pl.when(j >= mask_start)
+        def _masked_blocks():
+            _body(True)
+
+        @pl.when(j < mask_start)
+        def _clean_blocks():
+            _body(False)
+    else:
+        _body(masked)
 
     @pl.when(j == n_k - 1)
     def _finalize():
@@ -362,7 +400,8 @@ def _packed_fwd_impl(qn, kn, vn, num_heads: int, scale: float, bq: int,
 
     grid = (b * hp, sq_pad // bq_eff, n_k)
     kernel = functools.partial(_flash_packed_kernel, d=d, masked=masked,
-                               exp_bf16=exp_bf16)
+                               exp_bf16=exp_bf16,
+                               mask_start=valid // bk_eff if masked else 0)
     in_specs = [
         pl.BlockSpec((1, bq_eff, lane), lambda g, i, j: (g // hp, i, g % hp)),
         pl.BlockSpec((1, bk_eff, lane), lambda g, i, j: (g // hp, j, g % hp)),
