@@ -682,7 +682,11 @@ def _fwd(q, k, v, scale, bq, bk, interpret, fixed_ref=True):
     b, sq, h, d = q.shape
     skv = k.shape[1]
     s = (1.0 / math.sqrt(d)) if scale is None else scale
-    bq_eff, bk_eff = _eff_blocks(sq, skv, d, bq, bk)
+    # training forward (saves l): cap bq so the [bk, bq] fp32 logits temp
+    # + its bf16 copy fit scoped VMEM — (2880, 960) stacked 17.14M > 16.16M
+    # limit at [160,14400,64] (32-frame train step), and the r2 sweep put
+    # (1440, 960) within ~3.5% of it per call
+    bq_eff, bk_eff = _eff_blocks(sq, skv, d, min(bq, 1440), bk)
     out3, l3 = _flash_fwd(_to3(q), _to3(k), _to3(v), s, bq_eff, bk_eff,
                           interpret, fixed_ref, with_l=True)
     return _from3(out3, b, h), (q, k, v, _from3(out3, b, h), l3)
