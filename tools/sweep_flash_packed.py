@@ -33,7 +33,10 @@ def main():
     import jax
     import jax.numpy as jnp
     import numpy as np
-    from star_tpu.ops import flash_attention as fa
+    import importlib
+    # the ops package re-exports a function named flash_attention that
+    # shadows the submodule on every `import ... as` form; go via sys.modules
+    fa = importlib.import_module('star_tpu.ops.flash_attention')
     from star_tpu.utils.cache import enable_compile_cache
     enable_compile_cache()
 
