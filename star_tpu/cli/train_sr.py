@@ -51,6 +51,10 @@ def parse_args():
                         '(reference: torchrun x8, bs 1/device)')
     p.add_argument('--tensor_parallel', type=int, default=1,
                    help='mesh tensor axis (Megatron-style head/MLP sharding)')
+    p.add_argument('--frozen_bf16', action='store_true',
+                   help='hold the frozen (non-trainable) param tree in '
+                        'bf16 — halves its HBM footprint; compute is bf16 '
+                        'regardless, trainable masters stay fp32')
     p.add_argument('--ema_decay', type=float, default=0.0,
                    help='EMA of params; reference default 0.9999, 0 = off')
     p.add_argument('--sample_every', type=int, default=0,
@@ -141,6 +145,9 @@ def main():
                       ema_decay=args.ema_decay)
     with mesh:
         params = shard_params(models.unet_params, mesh)
+        if args.frozen_bf16:
+            from ..train import cast_frozen
+            params = cast_frozen(params)
         state, tx = make_train_state(cfg, params)
         if args.data_parallel > 1:
             # ZeRO-1: shard AdamW moments over the data axis

@@ -83,6 +83,8 @@ def make_cog_train_step(cfg: CogTrainConfig, dit_apply: Callable[..., Any],
         disc.get_sqrt_alphas(cfg.num_idx, flip=False), jnp.float32)
 
     def loss_fn(params, batch, idx, noise):
+        from .trainer import stop_frozen_grads
+        params = stop_frozen_grads(params, cog_trainable_mask(params))
         gt = batch['gt_latent'].astype(jnp.float32)     # [B,T,h,w,16]
         a = sqrt_alphas[idx].reshape((-1,) + (1,) * (gt.ndim - 1))
         noised = a * gt + jnp.sqrt(1.0 - a * a) * noise

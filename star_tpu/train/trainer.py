@@ -57,6 +57,28 @@ def trainable_mask(params: Any) -> Any:
     return jax.tree_util.tree_map_with_path(_m, params)
 
 
+def stop_frozen_grads(params: Any, mask: Any = None) -> Any:
+    """Reference parity: frozen params carry requires_grad=False
+    (train_sr.py:481-495). stop_gradient on the frozen leaves lets XLA
+    DCE their cotangent computation entirely — ~P_frozen fp32 grad
+    buffers plus the param-grad matmuls vanish from the backward."""
+    if mask is None:
+        mask = trainable_mask(params)
+    return jax.tree.map(
+        lambda m, p: p if m else jax.lax.stop_gradient(p), mask, params)
+
+
+def cast_frozen(params: Any, dtype=jnp.bfloat16, mask: Any = None) -> Any:
+    """Hold frozen leaves in `dtype` (model compute is bf16 regardless);
+    trainable masters stay fp32. Halves the frozen tree's HBM footprint —
+    the single-chip equivalent of the reference keeping the frozen base
+    in half precision under Accelerate mixed precision."""
+    if mask is None:
+        mask = trainable_mask(params)
+    return jax.tree.map(
+        lambda m, p: p if m else p.astype(dtype), mask, params)
+
+
 class TrainState(NamedTuple):
     step: jax.Array
     params: Any
@@ -105,6 +127,7 @@ def make_train_step(cfg: TrainConfig,
     """
 
     def loss_fn(params, batch, t, noise):
+        params = stop_frozen_grads(params)
         gt = batch['gt_latent'].astype(jnp.float32)
         noised = diffuse(tables, gt, t, noise)
         v_pred = unet_apply(params, noised, t, batch['y'],

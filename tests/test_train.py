@@ -84,6 +84,44 @@ def test_frozen_params_stay_frozen(setup):
     assert changed > 0
 
 
+def test_frozen_bf16_step(setup):
+    """cast_frozen holds the frozen tree in bf16 (stop_frozen_grads DCEs
+    its cotangents); the step must still update trainable fp32 masters
+    and leave frozen leaves bit-identical bf16."""
+    from star_tpu.train import cast_frozen
+    m, params, (b, f, h, w) = setup
+    params = cast_frozen(params)
+    mask = trainable_mask(params)
+    for (path, p), mk in zip(jax.tree_util.tree_leaves_with_path(params),
+                             jax.tree.leaves(mask)):
+        assert p.dtype == (jnp.float32 if mk else jnp.bfloat16), path
+    cfg = TrainConfig(freq_loss=False)
+    state, tx = make_train_state(cfg, params)
+    tables = DiffusionTables.from_schedule(default_star_schedule())
+    step = make_train_step(
+        cfg, lambda p, x, t, y, hint: m.apply(p, x, t, y, hint), tables, tx)
+    batch = {
+        'gt_latent': jax.random.normal(jax.random.PRNGKey(1), (b, f, h, w, 4)),
+        'lq_latent': jax.random.normal(jax.random.PRNGKey(2), (b, f, h, w, 4)),
+        'y': jax.random.normal(jax.random.PRNGKey(3), (b, 7, 32)),
+    }
+    new_state, metrics = jax.jit(step)(state, batch, jax.random.PRNGKey(4))
+    assert np.isfinite(float(metrics['total_loss']))
+    flat_new = dict(jax.tree_util.tree_leaves_with_path(new_state.params))
+    flat_mask = dict(jax.tree_util.tree_leaves_with_path(mask))
+    changed = 0
+    for path, old in jax.tree_util.tree_leaves_with_path(state.params):
+        new = flat_new[path]
+        if flat_mask[path]:
+            changed += int(not np.allclose(np.asarray(old, np.float32),
+                                           np.asarray(new, np.float32)))
+        else:
+            assert new.dtype == jnp.bfloat16
+            assert np.array_equal(np.asarray(old, np.float32),
+                                  np.asarray(new, np.float32)), path
+    assert changed > 0
+
+
 def test_loss_weighting_semantics():
     v = jnp.ones((1, 4))
     target = jnp.zeros((1, 4))

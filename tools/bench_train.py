@@ -33,6 +33,10 @@ def main():
                     help='ALSO bench the step with the frequency loss '
                          '(adds a full VAE decode of pred_x0 per step)')
     ap.add_argument('--no_remat', action='store_true')
+    ap.add_argument('--fp32_frozen', action='store_true',
+                    help='keep frozen params fp32 (default: bf16 — the '
+                         'frozen 1.41B tree halves to 2.8G; compute is '
+                         'bf16 regardless)')
     ap.add_argument('--cpu', action='store_true',
                     help='smoke-test the script on CPU (tiny shapes)')
     ap.add_argument('--tiny', action='store_true',
@@ -65,12 +69,19 @@ def main():
     t = jnp.zeros((b,), jnp.int32)
     y = jnp.zeros((b, 77, ctx_dim), jnp.bfloat16)
     shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0), x, t, y, x)
-    # fp32 master params (flax default; the CLI loads/creates the same),
-    # bf16 compute inside the model
+    # fp32 masters for the trainable set (flax default; the CLI
+    # loads/creates the same); frozen leaves bf16 unless --fp32_frozen
+    from star_tpu.train import cast_frozen, trainable_mask
+    if not args.fp32_frozen:
+        shapes = jax.eval_shape(cast_frozen, shapes)
     params = jax.device_put(jax.tree.map(
         lambda s: jnp.zeros(s.shape, s.dtype), shapes))
     n_par = sum(p.size for p in jax.tree.leaves(params))
-    print(f'[t] params {n_par / 1e9:.2f}B fp32', flush=True)
+    mask = trainable_mask(params)
+    n_tr = sum(p.size for p, m in zip(jax.tree.leaves(params),
+                                      jax.tree.leaves(mask)) if m)
+    print(f'[t] params {n_par / 1e9:.2f}B ({n_tr / 1e9:.2f}B trainable fp32, '
+          f'frozen {"fp32" if args.fp32_frozen else "bf16"})', flush=True)
 
     def run_config(freq: bool):
         cfg = TrainConfig(freq_loss=freq)
@@ -113,6 +124,7 @@ def main():
     base = run_config(False)
     out = {'train_step_ms': round(base * 1e3, 1), 'frames': f,
            'latents': [h, w], 'params_B': round(n_par / 1e9, 3)}
+    print('[t] base: ' + json.dumps(out), flush=True)
     if args.freq:
         with_freq = run_config(True)
         out['train_step_freq_ms'] = round(with_freq * 1e3, 1)
