@@ -375,9 +375,18 @@ def fused_gn_silu_conv3x3(x: jax.Array, gn_scale: jax.Array,
     # 512-channel scales (+15%, 124 TF/s); at C=128 XLA's conv engine is
     # faster (the kernel is VMEM-traffic-bound around the MXU), C=256 a tie.
     # Reached only when the winoh tiling pick fails (h % 2 != 0).
+    # STAR_TPU_CONV3X3_DIRECT128 (read at trace time): route C=Cout=128
+    # through the direct kernel too. Standalone the XLA conv engine wins at
+    # this scale (23.4 vs ~28 ms), but IN-GRAPH the XLA route costs ~42 ms —
+    # the conv emits a {3,0,2,1} relayout, the threaded channel_stats become
+    # a standalone convert_reduce+relayout pass (~11 ms), and the GN apply
+    # is its own 8.5 ms pass (r5 VAE decoder trace) — while the kernel folds
+    # all three. A/B with tools/ab_decode128.py before trusting either way.
+    direct128 = (c == 128 and cout == 128 and os.environ.get(
+        'STAR_TPU_CONV3X3_DIRECT128', '') == '1')
     use_pallas = (impl == 'direct' or (
         impl == 'auto' and not _DISABLE and hb is not None and lanes_ok
-        and max(c, cout) >= 512))
+        and (max(c, cout) >= 512 or direct128)))
     if not use_pallas or hb is None:
         return _conv3x3_xla(x, a, b, kernel, bias, residual, want_stats)
     return _conv3x3_pallas(
