@@ -126,11 +126,13 @@ def temporal_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     d = hd // num_heads
     s = (1.0 / math.sqrt(d)) if scale is None else scale
     from .attention import _on_tpu
-    # block budget: 4 double-buffered [F, nb, H*D] bf16 blocks + the G·H
-    # lane-padded probability tiles must fit the 32MB scoped-vmem limit set
-    # below (~45 bytes per F*HD*nb unit, measured: the largest UNet config
-    # F=8, HD=512, nb=120 compiles at ~26MB)
-    target = max(32, min(128, int(28e6 // (45 * f * hd)) // 8 * 8))
+    # block budget: 4 double-buffered [F, nb, H*D] bf16 blocks + fp32 chunk
+    # temps must fit the 32MB scoped-vmem limit set below. The per-unit
+    # byte cost GROWS with F (Mosaic-measured: F=8/HD=512/nb=120 -> 26MB
+    # = 53 B per F*HD*nb unit; F=16/HD=512/nb=72 -> 47.2MB = 80 B/unit,
+    # which OOM'd the f=16 train step r5) — model it linearly.
+    unit = 26.0 + 3.4 * f
+    target = max(32, min(128, int(28e6 // (unit * f * hd)) // 8 * 8))
     nb_eff = nb or _pick_nblock(n, target)
     if (nb_eff is None or n % nb_eff or d != 64 or f > 16
             or not (_on_tpu() or interpret)):
