@@ -33,6 +33,13 @@ def main():
                     help='ALSO bench the step with the frequency loss '
                          '(adds a full VAE decode of pred_x0 per step)')
     ap.add_argument('--no_remat', action='store_true')
+    ap.add_argument('--grads_only', action='store_true',
+                    help='bench fwd+bwd+clip WITHOUT AdamW moment state '
+                         '(m/v fp32 for the 0.63B trainable set = 5.0G; '
+                         'the full f=8 step needs 18.79G > 15.75G HBM). '
+                         'The moment update is param-elementwise and '
+                         'frame-independent — measure it as '
+                         '(full - grads_only) at a fitting frame count.')
     ap.add_argument('--fp32_frozen', action='store_true',
                     help='keep frozen params fp32 (default: bf16 — the '
                          'frozen 1.41B tree halves to 2.8G; compute is '
@@ -85,7 +92,16 @@ def main():
 
     def run_config(freq: bool):
         cfg = TrainConfig(freq_loss=freq)
-        state, tx = make_train_state(cfg, params)
+        if args.grads_only:
+            # grad-clip only: EmptyState optimizer, so the step is
+            # fwd + bwd + clip + param apply, with NO m/v moment buffers
+            import optax
+            from star_tpu.train import TrainState
+            tx = optax.clip_by_global_norm(cfg.max_grad_norm)
+            state = TrainState(jnp.zeros((), jnp.int32), params,
+                               tx.init(params))
+        else:
+            state, tx = make_train_state(cfg, params)
         vae_decode = None
         batch = {'gt_latent': jnp.zeros((b, f, h, w, 4), jnp.float32),
                  'lq_latent': jnp.zeros((b, f, h, w, 4), jnp.bfloat16),
@@ -122,7 +138,9 @@ def main():
         return times[len(times) // 2]
 
     base = run_config(False)
-    out = {'train_step_ms': round(base * 1e3, 1), 'frames': f,
+    key_base = ('train_fwd_bwd_clip_ms' if args.grads_only
+                else 'train_step_ms')
+    out = {key_base: round(base * 1e3, 1), 'frames': f,
            'latents': [h, w], 'params_B': round(n_par / 1e9, 3)}
     print('[t] base: ' + json.dumps(out), flush=True)
     if args.freq:
