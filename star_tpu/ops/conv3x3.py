@@ -375,15 +375,17 @@ def fused_gn_silu_conv3x3(x: jax.Array, gn_scale: jax.Array,
     # 512-channel scales (+15%, 124 TF/s); at C=128 XLA's conv engine is
     # faster (the kernel is VMEM-traffic-bound around the MXU), C=256 a tie.
     # Reached only when the winoh tiling pick fails (h % 2 != 0).
-    # STAR_TPU_CONV3X3_DIRECT128 (read at trace time): route C=Cout=128
-    # through the direct kernel too. Standalone the XLA conv engine wins at
-    # this scale (23.4 vs ~28 ms), but IN-GRAPH the XLA route costs ~42 ms —
-    # the conv emits a {3,0,2,1} relayout, the threaded channel_stats become
-    # a standalone convert_reduce+relayout pass (~11 ms), and the GN apply
-    # is its own 8.5 ms pass (r5 VAE decoder trace) — while the kernel folds
-    # all three. A/B with tools/ab_decode128.py before trusting either way.
+    # C=Cout=128 routes through the direct kernel (r5). Standalone the XLA
+    # conv engine wins at this scale (23.4 vs ~28 ms), but IN-GRAPH the XLA
+    # route costs ~42 ms — the conv emits a {3,0,2,1} relayout, the threaded
+    # channel_stats become a standalone convert_reduce+relayout pass
+    # (~11 ms), and the GN apply is its own 8.5 ms pass (r5 VAE decoder
+    # trace) — while the kernel folds all three. One-process decode A/B
+    # (tools/ab_decode128.py): direct 756.1 ms vs XLA 816.1 at 9f 720p,
+    # decode_batch=3. STAR_TPU_CONV3X3_DIRECT128=0 restores the XLA route
+    # (trace-time kill switch for A/Bs).
     direct128 = (c == 128 and cout == 128 and os.environ.get(
-        'STAR_TPU_CONV3X3_DIRECT128', '') == '1')
+        'STAR_TPU_CONV3X3_DIRECT128', '1') == '1')
     use_pallas = (impl == 'direct' or (
         impl == 'auto' and not _DISABLE and hb is not None and lanes_ok
         and (max(c, cout) >= 512 or direct128)))

@@ -49,7 +49,7 @@ def main():
         (1, args.frames, args.h // 8, args.w // 8, 4), dtype)
 
     fns, outs = {}, {}
-    for name, flag in (('xla128', ''), ('direct128', '1')):
+    for name, flag in (('xla128', '0'), ('direct128', '1')):
         os.environ['STAR_TPU_CONV3X3_DIRECT128'] = flag
         # separate wrapper identities -> separate jit cache entries even
         # though the Python callable bodies match
