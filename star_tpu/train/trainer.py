@@ -174,5 +174,21 @@ def make_train_step(cfg: TrainConfig,
         metrics['grad_norm'] = optax.global_norm(grads)
         return new_state, metrics
 
+    def loss_and_grads(params, batch, key):
+        """fwd + bwd + grad-norm only, scalars out — no optimizer state,
+        no materialized full grad tree (XLA frees each leaf after its
+        square-sum). Benchmarks the step's compute on memory-tight
+        single-chip configs (tools/bench_train.py --grads_only)."""
+        kt, kn = jax.random.split(key)
+        b = batch['gt_latent'].shape[0]
+        t = jax.random.randint(kt, (b,), 0, cfg.num_timesteps)
+        noise = jax.random.normal(kn, batch['gt_latent'].shape, jnp.float32)
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, batch, t, noise)
+        metrics = dict(metrics)
+        metrics['grad_norm'] = optax.global_norm(grads)
+        return metrics
+
     train_step.preview_x0 = preview_x0
+    train_step.loss_and_grads = loss_and_grads
     return train_step

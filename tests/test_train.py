@@ -122,6 +122,27 @@ def test_frozen_bf16_step(setup):
     assert changed > 0
 
 
+def test_loss_and_grads_scalars_only(setup):
+    """The bench's fwd+bwd-only mode returns finite scalar metrics and a
+    positive grad norm without touching optimizer state."""
+    import optax
+    m, params, (b, f, h, w) = setup
+    cfg = TrainConfig(freq_loss=False)
+    tables = DiffusionTables.from_schedule(default_star_schedule())
+    step = make_train_step(
+        cfg, lambda p, x, t, y, hint: m.apply(p, x, t, y, hint), tables,
+        optax.identity())
+    batch = {
+        'gt_latent': jax.random.normal(jax.random.PRNGKey(1), (b, f, h, w, 4)),
+        'lq_latent': jax.random.normal(jax.random.PRNGKey(2), (b, f, h, w, 4)),
+        'y': jax.random.normal(jax.random.PRNGKey(3), (b, 7, 32)),
+    }
+    metrics = jax.jit(step.loss_and_grads)(params, batch,
+                                           jax.random.PRNGKey(4))
+    assert np.isfinite(float(metrics['total_loss']))
+    assert float(metrics['grad_norm']) > 0
+
+
 def test_loss_weighting_semantics():
     v = jnp.ones((1, 4))
     target = jnp.zeros((1, 4))

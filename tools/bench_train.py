@@ -93,13 +93,9 @@ def main():
     def run_config(freq: bool):
         cfg = TrainConfig(freq_loss=freq)
         if args.grads_only:
-            # grad-clip only: EmptyState optimizer, so the step is
-            # fwd + bwd + clip + param apply, with NO m/v moment buffers
             import optax
-            from star_tpu.train import TrainState
-            tx = optax.clip_by_global_norm(cfg.max_grad_norm)
-            state = TrainState(jnp.zeros((), jnp.int32), params,
-                               tx.init(params))
+            tx = optax.identity()          # unused by loss_and_grads
+            state = None
         else:
             state, tx = make_train_state(cfg, params)
         vae_decode = None
@@ -119,18 +115,26 @@ def main():
             lambda p, xx, tt, yy, hint: model.apply(p, xx, tt, yy, hint,
                                                     deterministic=True),
             tables, tx, vae_decode=vae_decode)
-        step = jax.jit(raw, donate_argnums=(0,))
+        if args.grads_only:
+            # scalars-only fwd+bwd+grad-norm: no optimizer state, no
+            # materialized grad tree (each leaf freed after its square-sum)
+            gstep = jax.jit(raw.loss_and_grads)
+            run = lambda st: (st, gstep(params, batch, key))
+        else:
+            step = jax.jit(raw, donate_argnums=(0,))
+            run = lambda st: step(st, batch, key)
 
         key = jax.random.PRNGKey(2)
-        print(f'[t] compile freq={freq}', flush=True)
+        print(f'[t] compile freq={freq} grads_only={args.grads_only}',
+              flush=True)
         t0 = time.time()
-        state, m = step(state, batch, key)
+        state, m = run(state)
         jax.device_get(m['loss_v'])
         print(f'[t] compile+first step {time.time() - t0:.1f}s', flush=True)
         times = []
         for i in range(args.iters):
             t0 = time.time()
-            state, m = step(state, batch, key)
+            state, m = run(state)
             jax.device_get(m['loss_v'])      # host readback sync (tunnel)
             times.append(time.time() - t0)
             print(f'[t] iter {i}: {times[-1] * 1e3:.0f} ms', flush=True)
