@@ -21,7 +21,8 @@ a generous 40% of peak does it in ~745 ms. vs_baseline = est_ref_ms / ours
 when reference hardware is available.
 
 Context numbers measured on this chip (not in the JSON): SVD temporal VAE at
-720p decodes 8.88 fps (decode_batch=3) / encodes 30.5 fps (r4: fused
+720p decodes 11.6 fps (decode_batch=3) / encodes 29-30 fps (r5: direct
+Pallas conv3x3 with folded GN at the 128ch scale, on top of the fused
 one-pass upsample-conv + H-Winograd conv3x3 + flash mid-attention);
 CogVideoX DiT CFG step 2224 ms (tools/bench_cog.py).
 """
