@@ -63,7 +63,7 @@ def _pick_nb(n: int, f: int, c: int, cout: int, has_res: bool,
 
 
 def _kernel(x_ref, a_ref, b_ref, k_ref, bias_ref, *rest,
-            f, c, cout, has_res, want_stats):
+            f, c, cout, has_res, want_stats, per_frame=False):
     if has_res:
         res_ref, out_ref = rest[0], rest[1]
         stat_refs = rest[2:]
@@ -84,6 +84,7 @@ def _kernel(x_ref, a_ref, b_ref, k_ref, bias_ref, *rest,
     bias_v = bias_ref[0, 0]                             # [Cout] fp32
 
     s_acc = s2_acc = None
+    s_rows, s2_rows = [], []
     # per-output-frame tap matmuls: out[f] = W0 @ y[f-1] + W1 @ y[f]
     # + W2 @ y[f+1] (SAME padding over frames: edge taps simply drop out).
     # F is static and small (8 in deployment), so the python loop unrolls.
@@ -107,24 +108,44 @@ def _kernel(x_ref, a_ref, b_ref, k_ref, bias_ref, *rest,
             of = ob.astype(jnp.float32)
             s = jnp.sum(of, axis=0)
             s2 = jnp.sum(jax.lax.square(of), axis=0)
-            s_acc = s if s_acc is None else s_acc + s
-            s2_acc = s2 if s2_acc is None else s2_acc + s2
+            if per_frame:
+                s_rows.append(s)
+                s2_rows.append(s2)
+            else:
+                s_acc = s if s_acc is None else s_acc + s
+                s2_acc = s2 if s2_acc is None else s2_acc + s2
 
     if want_stats:
         sum_ref, sq_ref = stat_refs
 
-        @pl.when(n_i == 0)
-        def _():
-            sum_ref[0, 0] = s_acc
-            sq_ref[0, 0] = s2_acc
+        if per_frame:
+            # per-output-frame (sum, sumsq) rows: [1, F, Cout] block,
+            # static sublane-row stores (fi is a python-unrolled index)
+            @pl.when(n_i == 0)
+            def _():
+                for fi in range(f):
+                    sum_ref[0, fi] = s_rows[fi]
+                    sq_ref[0, fi] = s2_rows[fi]
 
-        @pl.when(n_i != 0)
-        def _():
-            sum_ref[0, 0] = sum_ref[0, 0] + s_acc
-            sq_ref[0, 0] = sq_ref[0, 0] + s2_acc
+            @pl.when(n_i != 0)
+            def _():
+                for fi in range(f):
+                    sum_ref[0, fi] = sum_ref[0, fi] + s_rows[fi]
+                    sq_ref[0, fi] = sq_ref[0, fi] + s2_rows[fi]
+        else:
+            @pl.when(n_i == 0)
+            def _():
+                sum_ref[0, 0] = s_acc
+                sq_ref[0, 0] = s2_acc
+
+            @pl.when(n_i != 0)
+            def _():
+                sum_ref[0, 0] = sum_ref[0, 0] + s_acc
+                sq_ref[0, 0] = sq_ref[0, 0] + s2_acc
 
 
-def _tconv_xla(x, a, b, kernel, bias, residual, want_stats):
+def _tconv_xla(x, a, b, kernel, bias, residual, want_stats,
+               per_frame=False):
     """jnp fallback with identical semantics (bulk apply in x.dtype, fp32
     tap accumulation — the im2col spelling of ops/temporal_conv.py)."""
     bsz, f, n, c = x.shape
@@ -140,24 +161,27 @@ def _tconv_xla(x, a, b, kernel, bias, residual, want_stats):
     if residual is not None:
         out = out + residual
     if want_stats:
-        s, s2 = channel_stats(out.reshape(bsz, f * n, cout))
+        pool = out.reshape(bsz * f, n, cout) if per_frame \
+            else out.reshape(bsz, f * n, cout)
+        s, s2 = channel_stats(pool)
         return out, (s, s2)
     return out, None
 
 
 def _reference(x, gn_scale, gn_bias, kernel, bias, stats, residual,
-               num_groups, eps, want_stats):
+               num_groups, eps, want_stats, per_frame=False):
     bsz, f, n, c = x.shape
     if stats is None:
         stats = channel_stats(x.reshape(bsz, f * n, c))
     a, b = gn_coeffs(stats, f * n * (c // num_groups), gn_scale, gn_bias,
                      num_groups, eps)
-    return _tconv_xla(x, a, b, kernel[:, 0], bias, residual, want_stats)
+    return _tconv_xla(x, a, b, kernel[:, 0], bias, residual, want_stats,
+                      per_frame)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11))
 def _dispatch(x, gn_scale, gn_bias, kernel, bias, stats, residual,
-              num_groups, eps, want_stats, interpret):
+              num_groups, eps, want_stats, interpret, per_frame=False):
     bsz, f, n, c = x.shape
     cout = kernel.shape[-1]
     if stats is None:
@@ -170,7 +194,8 @@ def _dispatch(x, gn_scale, gn_bias, kernel, bias, stats, residual,
     from .attention import _on_tpu
     nb = _pick_nb(n, f, c, cout, residual is not None)
     if not (_on_tpu() or interpret) or nb is None or n % 8 or f < 2:
-        return _tconv_xla(x, a, b, kern3, bias, residual, want_stats)
+        return _tconv_xla(x, a, b, kern3, bias, residual, want_stats,
+                          per_frame)
 
     in_specs = [
         pl.BlockSpec((1, f, nb, c), lambda bi, ni: (bi, 0, ni, 0)),
@@ -190,16 +215,17 @@ def _dispatch(x, gn_scale, gn_bias, kernel, bias, stats, residual,
     out_specs = [pl.BlockSpec((1, f, nb, cout),
                               lambda bi, ni: (bi, 0, ni, 0))]
     if want_stats:
+        frows = f if per_frame else 1
         for _ in range(2):
-            out_shape.append(jax.ShapeDtypeStruct((bsz, 1, cout),
+            out_shape.append(jax.ShapeDtypeStruct((bsz, frows, cout),
                                                   jnp.float32))
-            out_specs.append(pl.BlockSpec((1, 1, cout),
+            out_specs.append(pl.BlockSpec((1, frows, cout),
                                           lambda bi, ni: (bi, 0, 0)))
 
     out = pl.pallas_call(
         functools.partial(_kernel, f=f, c=c, cout=cout,
                           has_res=residual is not None,
-                          want_stats=want_stats),
+                          want_stats=want_stats, per_frame=per_frame),
         grid=(bsz, n // nb),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -214,23 +240,26 @@ def _dispatch(x, gn_scale, gn_bias, kernel, bias, stats, residual,
         interpret=interpret,
     )(*args)
     if want_stats:
-        return out[0], (out[1].reshape(bsz, cout), out[2].reshape(bsz, cout))
+        rows = bsz * f if per_frame else bsz
+        return out[0], (out[1].reshape(rows, cout),
+                        out[2].reshape(rows, cout))
     return out[0], None
 
 
 def _fwd(x, gn_scale, gn_bias, kernel, bias, stats, residual,
-         num_groups, eps, want_stats, interpret):
+         num_groups, eps, want_stats, interpret, per_frame=False):
     out = _dispatch(x, gn_scale, gn_bias, kernel, bias, stats, residual,
-                    num_groups, eps, want_stats, interpret)
+                    num_groups, eps, want_stats, interpret, per_frame)
     return out, (x, gn_scale, gn_bias, kernel, bias, stats, residual)
 
 
-def _bwd(num_groups, eps, want_stats, interpret, saved, ct):
+def _bwd(num_groups, eps, want_stats, interpret, per_frame, saved, ct):
     # XLA-recompute backward through the jnp reference (same policy as
     # ops/conv3x3.py / ops/flash_attention.py): the fused forward is cheap
     # to re-derive relative to the surrounding matmuls.
     _, vjp = jax.vjp(
-        lambda *a: _reference(*a, num_groups, eps, want_stats), *saved)
+        lambda *a: _reference(*a, num_groups, eps, want_stats, per_frame),
+        *saved)
     return vjp(ct)
 
 
@@ -244,7 +273,8 @@ def fused_gn_silu_tconv3(x: jax.Array, gn_scale: jax.Array,
                          residual: jax.Array | None = None,
                          want_stats: bool = False,
                          num_groups: int = 32, eps: float = 1e-5,
-                         interpret: bool = False):
+                         interpret: bool = False,
+                         stats_per_frame: bool = False):
     """GroupNorm(x) -> SiLU -> (3,1,1) temporal conv (+bias) [+ residual].
 
     x: [B, F, N, C] (N = H*W, N % 8 == 0); kernel [3, 1, Cin, Cout] fp32
@@ -252,8 +282,12 @@ def fused_gn_silu_tconv3(x: jax.Array, gn_scale: jax.Array,
     element — torch GroupNorm semantics on the video tensor
     (unet_v2v.py:1201). `stats` is the fp32 (sum, sumsq) [B, C] of x (e.g.
     the previous stage's `want_stats` output); computed here when absent.
-    Returns (y [B, F, N, Cout], stats_of_y | None). Differentiable via an
+    Returns (y [B, F, N, Cout], stats_of_y | None). With
+    `stats_per_frame=True` the output stats are per-(batch, frame) rows
+    [B*F, C] — the granularity the NEXT per-frame spatial GroupNorm needs
+    (SVD decoder SpatioTemporalResBlock chain). Differentiable via an
     XLA-recompute VJP.
     """
     return _dispatch(x, gn_scale, gn_bias, kernel, bias, stats, residual,
-                     num_groups, eps, want_stats, interpret)
+                     num_groups, eps, want_stats, interpret,
+                     stats_per_frame)

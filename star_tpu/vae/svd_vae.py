@@ -134,12 +134,24 @@ class _TConvParams(nn.Module):
 
 
 class TemporalResnetBlock(nn.Module):
-    """(3,1,1) temporal conv residual block; x is [B, F, H, W, C]."""
+    """(3,1,1) temporal conv residual block; x is [B, F, H, W, C].
+
+    With `alpha` given (and matching channels), the surrounding
+    AlphaBlender mix folds INTO the second conv's epilogue: since the
+    temporal shortcut here is the block input h_sp itself,
+        (1-a)*h_sp + a*(conv2 + h_sp)  ==  h_sp + a*conv2,
+    so scaling conv2's kernel/bias by `a` and keeping h_sp as the kernel
+    residual yields the BLENDED output in one pass — no separate
+    pixel-scale blend op, and the output (sum, sumsq) statistics for the
+    next block's per-frame GroupNorm come out of the same kernel call.
+    Returns (out, per_frame_stats | None)."""
     out_channels: int
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, stats: Stats | None = None):
+    def __call__(self, x, stats: Stats | None = None,
+                 alpha: jax.Array | None = None,
+                 want_stats: bool = False):
         # Both GN+SiLU+(3,1,1)-conv stages run through the fused Pallas
         # kernel (ops/fused_temporal_conv.py) on the flat [B, F, HW, C] view
         # — a free bitcast of the C-minor NHWC stream, consumed in its
@@ -171,9 +183,18 @@ class TemporalResnetBlock(nn.Module):
         # verified by the svd_vae golden
         h, st1 = fused_gn_silu_tconv3(xf, s1, b1, k1, kb1, stats=stats,
                                       want_stats=True, eps=1e-5)
+        if alpha is not None:
+            # the blend fold requires the shortcut to BE the input (true
+            # whenever the caller blends: h_sp already has out_channels)
+            assert c == self.out_channels, 'alpha fold needs c == out_ch'
+            out, st = fused_gn_silu_tconv3(
+                h, s2, b2, k2 * alpha, kb2 * alpha, stats=st1,
+                residual=xf, eps=1e-5, want_stats=want_stats,
+                stats_per_frame=True)
+            return out.reshape(b, f, hh, ww, self.out_channels), st
         out, _ = fused_gn_silu_tconv3(h, s2, b2, k2, kb2, stats=st1,
                                       residual=short, eps=1e-5)
-        return out.reshape(b, f, hh, ww, self.out_channels)
+        return out.reshape(b, f, hh, ww, self.out_channels), None
 
 
 class SpatioTemporalResBlock(nn.Module):
@@ -194,15 +215,27 @@ class SpatioTemporalResBlock(nn.Module):
                                        x.reshape(b * f, hh, ww, c),
                                        stats=stats, want_stats=True)
         h_sp = h2d.reshape(b, f, hh, ww, self.out_channels)
-        h_tm = TemporalResnetBlock(self.out_channels, dtype=self.dtype,
-                                   name='temporal_res_block')(h_sp,
-                                                              stats=st_sp)
         mix = self.param('mix_factor', nn.initializers.constant(0.5), (1,),
                          jnp.float32)
         alpha = jax.nn.sigmoid(mix)[0]  # weight on the temporal branch
-        # scalar blend in the compute dtype: fp32 upcasts of both branches
-        # materialized pixel-scale temps in the decoder (same class of
-        # waste as the fp32 GN apply; drift gated by test_bf16_gate)
+        import os
+        fold = os.environ.get('STAR_TPU_VAE_BLEND_FOLD', '1') == '1'
+        if fold:
+            # the blend folds into the temporal block's conv2 epilogue
+            # (see TemporalResnetBlock docstring): output stats ride the
+            # fused kernel — no separate blend pass or stat re-read of
+            # the pixel-scale tensor
+            out, st = TemporalResnetBlock(
+                self.out_channels, dtype=self.dtype,
+                name='temporal_res_block')(h_sp, stats=st_sp, alpha=alpha,
+                                           want_stats=want_stats)
+            if st is None and want_stats:
+                st = channel_stats(out.reshape(b * f, hh * ww, -1))
+            return out, st
+        # explicit-blend route (STAR_TPU_VAE_BLEND_FOLD=0 A/B)
+        h_tm, _ = TemporalResnetBlock(self.out_channels, dtype=self.dtype,
+                                      name='temporal_res_block')(
+                                          h_sp, stats=st_sp)
         one_m = (1.0 - alpha).astype(h_sp.dtype)
         out = one_m * h_sp + alpha.astype(h_tm.dtype) * h_tm
         st = (channel_stats(out.reshape(b * f, hh * ww, -1))

@@ -82,6 +82,47 @@ def test_vjp_matches_reference_autodiff():
                                    atol=1e-5)
 
 
+@pytest.mark.parametrize('interpret', [True, False])
+def test_stats_per_frame(interpret):
+    """stats_per_frame=True must emit per-(batch,frame) [B*F, C] sums that
+    match channel_stats on the per-frame reshape of the output (both the
+    Pallas kernel in interpret mode and the jnp fallback)."""
+    b, f, n, c = 2, 3, 64, 64
+    x, sc, bi, kern, cb = _inputs(jax.random.PRNGKey(3), b, f, n, c, c)
+    y, st = fused_gn_silu_tconv3(x, sc, bi, kern, cb, residual=x,
+                                 want_stats=True, stats_per_frame=True,
+                                 interpret=interpret)
+    s_ref, s2_ref = channel_stats(y.reshape(b * f, n, c))
+    assert st[0].shape == (b * f, c)
+    np.testing.assert_allclose(np.asarray(st[0]), np.asarray(s_ref),
+                               rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(st[1]), np.asarray(s2_ref),
+                               rtol=1e-4, atol=1e-3)
+
+
+def test_alpha_blend_fold_equivalence():
+    """TemporalResnetBlock's alpha fold must equal the explicit blend:
+    (1-a)*x + a*(tblock(x))  ==  x + a*conv2_out  (shortcut == input)."""
+    from star_tpu.vae.svd_vae import TemporalResnetBlock
+    b, f, hh, ww, c = 1, 3, 8, 8, 64
+    x = jax.random.normal(jax.random.PRNGKey(4), (b, f, hh, ww, c))
+    blk = TemporalResnetBlock(c)
+    params = blk.init(jax.random.PRNGKey(5), x)
+    # perturb params away from flax zero-init biases
+    params = jax.tree.map(
+        lambda p: p + 0.05 * jnp.arange(p.size, dtype=p.dtype
+                                        ).reshape(p.shape) / p.size, params)
+    alpha = jnp.float32(0.37)
+    h_tm, _ = blk.apply(params, x)                       # plain block
+    expected = (1 - alpha) * x + alpha * h_tm
+    folded, st = blk.apply(params, x, alpha=alpha, want_stats=True)
+    np.testing.assert_allclose(np.asarray(folded), np.asarray(expected),
+                               rtol=1e-5, atol=1e-5)
+    s_ref, _ = channel_stats(folded.reshape(b * f, hh * ww, c))
+    np.testing.assert_allclose(np.asarray(st[0]), np.asarray(s_ref),
+                               rtol=1e-4, atol=1e-3)
+
+
 def test_nb_picker_fallback_shapes():
     # N % 8 != 0 (the UNet's deepest 13x20 grid) must not pick a kernel path
     assert _pick_nb(260, 8, 1280, 1280, False) is None or 260 % 8 != 0
